@@ -1,0 +1,40 @@
+"""EdDSA-Poseidon verification gadget.
+
+Mirror of /root/reference/fawkes-crypto/src/circuit/eddsaposeidon.rs:16-47
+(3,860 constraints on BN254 per the reference README).
+"""
+
+from __future__ import annotations
+
+from ..ff.hostfield import Num
+from ..native.ecc import JubJubParams
+from ..native.poseidon import PoseidonParams
+from .bitify import c_comp_constant, c_into_bits_le, c_into_bits_le_strict
+from .bool import CBool
+from .ecc import CEdwardsPoint
+from .num import CNum
+from .poseidon import c_poseidon
+
+
+def c_eddsaposeidon_verify(s: CNum, r: CNum, a: CNum, m: CNum,
+                           poseidon_params: PoseidonParams,
+                           jubjub_params: JubJubParams) -> CBool:
+    assert jubjub_params.fr.bits > jubjub_params.fs.bits, \
+        "jubjub field should be lesser than snark field"
+    cs = s.cs
+
+    p_a = CEdwardsPoint.subgroup_decompress(a, jubjub_params)
+    p_r = CEdwardsPoint.subgroup_decompress(r, jubjub_params)
+    h = c_poseidon([r.clone(), a.clone(), m.clone()], poseidon_params)
+    h_bits = c_into_bits_le_strict(h)
+    ha = p_a.mul(h_bits, jubjub_params)
+
+    s_bits = c_into_bits_le(s, jubjub_params.fs.bits)
+    minus_one_fs = Num(jubjub_params.fs, -1).to_other(jubjub_params.fr)
+    c_comp_constant(s_bits, minus_one_fs).assert_const(False)
+
+    jubjub_generator = CEdwardsPoint.from_const(cs, jubjub_params.edwards_g)
+    sb = jubjub_generator.mul(s_bits, jubjub_params)
+    ha_plus_r = ha.add(p_r, jubjub_params)
+
+    return (ha_plus_r.x - sb.x).is_zero()
