@@ -1,0 +1,250 @@
+"""Batched prime-field arithmetic on TPU (JAX/XLA), radix-2^16 Montgomery.
+
+This is the TPU-native replacement for the reference's per-field Montgomery
+codegen (/root/reference/ff-uint_derive/src/lib.rs:408-969). Elements are
+uint32 tensors of shape (..., K) holding K little-endian 16-bit limbs; all ops
+vectorize over leading batch dims. Montgomery radix R = 2^(16K) equals the
+reference's R = 2^(64*words), so Montgomery representations interoperate
+bit-for-bit.
+
+Core algorithm: product-scan wide multiply (column sums of 16x16->32 partial
+products stay < 2^23, no per-step carries) followed by interleaved REDC with
+one normalization per step. Everything is branchless elementwise uint32 -
+exactly what the VPU wants; XLA fuses each mont-mul into a handful of kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hostfield import PrimeField
+from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs, n_limbs_for
+
+MASK = jnp.uint32(LIMB_MASK)
+U32 = jnp.uint32
+
+
+def _unstack(x) -> List[jax.Array]:
+    return [x[..., i] for i in range(x.shape[-1])]
+
+
+def _stack(xs: List[jax.Array]) -> jax.Array:
+    return jnp.stack(xs, axis=-1)
+
+
+class FieldCtx:
+    """Per-field constants + batched ops. Create once per field via get()."""
+
+    _cache = {}
+
+    def __init__(self, fld: PrimeField):
+        self.fld = fld
+        self.k = n_limbs_for(fld.word_count)
+        k = self.k
+        self.p_limbs = tuple(int(v) for v in int_to_limbs(fld.p, k))
+        self.inv16 = int(fld.inv16)  # -p^-1 mod 2^16
+        self.r_mont = tuple(int(v) for v in int_to_limbs(fld.R % fld.p, k))  # 1 in mont
+        self.r2 = tuple(int(v) for v in int_to_limbs(fld.R2, k))
+        self.zero = tuple(0 for _ in range(k))
+
+    @classmethod
+    def get(cls, fld: PrimeField) -> "FieldCtx":
+        key = id(fld)
+        if key not in cls._cache:
+            cls._cache[key] = cls(fld)
+        return cls._cache[key]
+
+    # ---- encode/decode (host) -------------------------------------------
+    def encode(self, xs, mont=True) -> np.ndarray:
+        """Host ints/Nums -> (N, K) uint32 device format (Montgomery by default)."""
+        from .hostfield import Num
+
+        vals = []
+        for x in xs:
+            if isinstance(x, Num):
+                x = x.x
+            vals.append(self.fld.to_mont(x) if mont else x % self.fld.p)
+        out = np.zeros((len(vals), self.k), dtype=np.uint32)
+        for j, v in enumerate(vals):
+            for i in range(self.k):
+                out[j, i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+        return out
+
+    def decode(self, a, mont=True) -> list:
+        """(N, K) uint32 -> list of host ints (canonical)."""
+        a = np.asarray(jax.device_get(a), dtype=np.uint64)
+        out = []
+        for j in range(a.shape[0]):
+            v = sum(int(a[j, i]) << (LIMB_BITS * i) for i in range(self.k))
+            out.append(self.fld.from_mont(v) if mont else v % self.fld.p)
+        return out
+
+    def const(self, x: int, mont=True) -> jnp.ndarray:
+        """Single constant -> (K,) uint32."""
+        v = self.fld.to_mont(x % self.fld.p) if mont else x % self.fld.p
+        return jnp.asarray(int_to_limbs(v, self.k))
+
+    # ---- carries -----------------------------------------------------------
+    def _carry_norm(self, t: List[jax.Array], out_limbs: int) -> List[jax.Array]:
+        """Sequential carry propagation: columns (any magnitude) -> 16-bit limbs."""
+        res = []
+        carry = jnp.zeros_like(t[0])
+        for i in range(out_limbs):
+            v = (t[i] if i < len(t) else jnp.zeros_like(t[0])) + carry
+            res.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return res
+
+    def _cond_sub_p(self, r: List[jax.Array], top: jax.Array) -> List[jax.Array]:
+        """r (K limbs) + top extra limb, r + top*2^(16K) < 2p: subtract p iff >= p."""
+        k = self.k
+        borrow = jnp.zeros_like(r[0])
+        d = []
+        for i in range(k):
+            tmp = r[i] + U32(0x10000 - self.p_limbs[i]) - borrow
+            d.append(tmp & MASK)
+            borrow = U32(1) - (tmp >> LIMB_BITS)
+        # ge = (top part covers borrow) : value >= p iff top > 0 or borrow == 0
+        ge = (top > 0) | (borrow == 0)
+        return [jnp.where(ge, d[i], r[i]) for i in range(k)]
+
+    # ---- public ops (stacked (..., K) uint32) -------------------------------
+    def add(self, a, b):
+        al, bl = _unstack(a), _unstack(b)
+        t = [x + y for x, y in zip(al, bl)]
+        r = self._carry_norm(t, self.k + 1)
+        return _stack(self._cond_sub_p(r[: self.k], r[self.k]))
+
+    def sub(self, a, b):
+        al, bl = _unstack(a), _unstack(b)
+        k = self.k
+        borrow = jnp.zeros_like(al[0])
+        d = []
+        for i in range(k):
+            tmp = al[i] + U32(0x10000) - bl[i] - borrow
+            d.append(tmp & MASK)
+            borrow = U32(1) - (tmp >> LIMB_BITS)
+        # add p back where borrowed
+        carry = jnp.zeros_like(al[0])
+        out = []
+        addp = jnp.where(borrow > 0, U32(1), U32(0))
+        for i in range(k):
+            v = d[i] + addp * U32(self.p_limbs[i]) + carry
+            out.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return _stack(out)
+
+    def neg(self, a):
+        return self.sub(self.zeros_like(a), a)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def mont_mul(self, a, b):
+        """Montgomery product a*b*R^-1 mod p, branchless.
+
+        Tensorized per-limb-row accumulation keeps the XLA graph ~10x smaller
+        than a fully unrolled schoolbook: column sums of 16x16->32 partial
+        products stay < 2^23, so no per-step carries are needed; the REDC
+        digit loop is the only sequential chain (k steps).
+        """
+        k = self.k
+        p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
+        # wide product columns t[0..2k]
+        t = jnp.zeros(a.shape[:-1] + (2 * k + 1,), dtype=jnp.uint32)
+        for i in range(k):
+            prod = a[..., i : i + 1] * b  # (..., k)
+            t = t.at[..., i : i + k].add(prod & MASK)
+            t = t.at[..., i + 1 : i + k + 1].add(prod >> LIMB_BITS)
+        # interleaved REDC, one 16-bit digit per step
+        inv16 = U32(self.inv16)
+        for i in range(k):
+            ti_raw = t[..., i]
+            ti = ti_raw & MASK
+            m = (ti * inv16) & MASK
+            prod = m[..., None] * p_vec  # (..., k)
+            lo = prod & MASK
+            t = t.at[..., i : i + k].add(lo)
+            t = t.at[..., i + 1].add(
+                (ti_raw >> LIMB_BITS) + ((ti + lo[..., 0]) >> LIMB_BITS)
+            )
+            t = t.at[..., i + 1 : i + k + 1].add(prod >> LIMB_BITS)
+        r = self._carry_norm(_unstack(t[..., k:]), self.k + 1)
+        return _stack(self._cond_sub_p(r[: self.k], r[self.k]))
+
+    def mont_sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def to_mont(self, a):
+        r2 = jnp.broadcast_to(jnp.asarray(self.r2, dtype=jnp.uint32), a.shape)
+        return self.mont_mul(a, r2)
+
+    def from_mont(self, a):
+        one = jnp.zeros_like(a).at[..., 0].set(1)
+        return self.mont_mul(a, one)
+
+    def select(self, cond, a, b):
+        """cond: (...,) bool -> a where true else b."""
+        return jnp.where(cond[..., None], a, b)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def pow_bits(self, a, bits):
+        """a^e via square-and-multiply scan; bits = LSB-first uint32 exponent
+        bits (traced, so one compile serves every exponent of that width)."""
+        one = jnp.broadcast_to(
+            jnp.asarray(self.r_mont, dtype=jnp.uint32), a.shape
+        )
+
+        def body(carry, bit):
+            result, base = carry
+            nr = jnp.where(bit > 0, self.mont_mul(result, base), result)
+            nb = self.mont_sqr(base)
+            return (nr, nb), None
+
+        (result, _), _ = jax.lax.scan(body, (one, a), bits)
+        return result
+
+    def exp_bits(self, e: int) -> jnp.ndarray:
+        """Host exponent -> fixed-width LSB-first bits array."""
+        n = self.k * LIMB_BITS
+        return jnp.asarray([(e >> i) & 1 for i in range(n)], dtype=jnp.uint32)
+
+    def pow_fixed(self, a, e: int):
+        return self.jit_pow(a, self.exp_bits(e))
+
+    def inv(self, a):
+        """Batched inverse via Fermat (a^(p-2)); 0 -> 0."""
+        return self.pow_bits(a, self.exp_bits(self.fld.p - 2))
+
+    # ---- cached jitted entry points (compile once per field/process) -------
+    @functools.cached_property
+    def jit_mul(self):
+        return jax.jit(self.mont_mul)
+
+    @functools.cached_property
+    def jit_add(self):
+        return jax.jit(self.add)
+
+    @functools.cached_property
+    def jit_sub(self):
+        return jax.jit(self.sub)
+
+    @functools.cached_property
+    def jit_pow(self):
+        return jax.jit(self.pow_bits)
+
+    def jit_inv(self, a):
+        return self.jit_pow(a, self.exp_bits(self.fld.p - 2))
+
+    def double(self, a):
+        return self.add(a, a)
