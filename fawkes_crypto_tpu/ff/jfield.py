@@ -155,8 +155,9 @@ class FieldCtx:
         """
         k = self.k
         p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
-        # wide product columns t[0..2k]
-        t = jnp.zeros(a.shape[:-1] + (2 * k + 1,), dtype=jnp.uint32)
+        # wide product columns t[0..2k]; broadcast leading dims of a and b
+        lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        t = jnp.zeros(lead + (2 * k + 1,), dtype=jnp.uint32)
         for i in range(k):
             prod = a[..., i : i + 1] * b  # (..., k)
             t = t.at[..., i : i + k].add(prod & MASK)
