@@ -6,7 +6,9 @@ Must run before any jax import — pytest loads conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the driver environment exports JAX_PLATFORMS=axon
+# (the tunneled TPU); unit tests must be hermetic on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Persistent compilation cache: XLA-CPU compiles of deep limb-arithmetic
 # graphs are expensive; cache them across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fawkes_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+import jax  # noqa: E402  (env vars above must be set before this import)
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fawkes_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
