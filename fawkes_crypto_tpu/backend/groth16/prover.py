@@ -1,0 +1,144 @@
+"""Groth16 prover: witness replay -> QAP h(x) via TPU NTT -> MSMs -> proof.
+
+Mirrors /root/reference/fawkes-crypto/src/backend/bellman_groth16/prover.rs:63-90
+with bellman's create_random_proof replaced by our own pipeline:
+  1. witness generation (WitnessCS replay consuming the const tracker,
+     prover.rs:69-74; compiled witness program path in witness.py),
+  2. az/bz/cz evaluations -> coset -> h(x) coefficients via the TPU NTT
+     (the hot loop #3 of SURVEY.md §3.2),
+  3. A/B/C multi-scalar multiplications (hot loop #4; TPU MSM in ops/msm.py,
+     host fallback here for small circuits).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ...circuit.cs import WitnessCS
+from ...engines.bn256 import Fr
+from ...ff.jfield import FieldCtx
+from ...native.bn_pairing import G1_GEN, g_add, g_mul, g_neg
+from ...ops.ntt import NTTCtx
+from ...seedbox import SeedboxChaCha20
+from .params import Parameters, Proof
+from .qap import sparse_matvec
+from .setup import inputize_signal
+
+
+def msm_host(points, scalars, p):
+    """Host MSM oracle: sum s_i * P_i (slow; TPU path in ops/msm.py)."""
+    acc = None
+    for pt, s in zip(points, scalars):
+        s %= p
+        if s == 0 or pt is None:
+            continue
+        acc = g_add(acc, g_mul(pt, s))
+    return acc
+
+
+def compute_h_coeffs(params: Parameters, az, bz, cz) -> list:
+    """h(x) = (a(x)b(x) - c(x)) / Z_H(x) coefficients (natural order),
+    computed on a multiplicative coset via the TPU NTT."""
+    n = params.r1cs.domain
+    p = Fr.p
+    fctx = FieldCtx.get(Fr)
+    ntt = NTTCtx.get(fctx, n)
+    g = Fr.generator
+    gp = ntt.shift_pows_br(g)
+    ginvp = ntt.shift_pows_br(pow(g, -1, p))
+    zh_coset_inv = pow(pow(g, n, p) - 1, -1, p)
+    zinv_c = jnp.broadcast_to(fctx.const(zh_coset_inv), (n, fctx.k))
+
+    def to_coset_evals(vals):
+        x = jnp.asarray(fctx.encode(vals + [0] * (n - len(vals))))
+        coeffs_br = ntt.jit_evals_to_coeffs_br(x)
+        return ntt.jit_coeffs_br_to_evals(fctx.jit_mul(coeffs_br, gp))
+
+    ea, eb, ec = to_coset_evals(az), to_coset_evals(bz), to_coset_evals(cz)
+    h_evals = fctx.jit_mul(fctx.jit_sub(fctx.jit_mul(ea, eb), ec), zinv_c)
+    h_coeffs_br = fctx.jit_mul(ntt.jit_evals_to_coeffs_br(h_evals), ginvp)
+    # back to natural order for the host MSM (TPU MSM uses bitrev H directly)
+    from ...ops.ntt import bitrev_permutation
+
+    coeffs_br_host = fctx.decode(h_coeffs_br)
+    rev = bitrev_permutation(n)
+    coeffs = [0] * n
+    for i in range(n):
+        coeffs[int(rev[i])] = coeffs_br_host[i]
+    assert coeffs[n - 1] == 0, "h degree must be <= domain-2"
+    return coeffs[: n - 1]
+
+
+def generate_witness(params: Parameters, input_pub, input_sec,
+                     circuit: Callable, alloc_pub: Callable,
+                     alloc_sec: Callable):
+    """Reference-style witness replay (prover.rs:69-74): re-run the circuit
+    on WitnessCS with concrete values, consuming recorded const decisions."""
+    wcs = WitnessCS(Fr, params.const_tracker)
+    signal_pub = alloc_pub(wcs, input_pub)
+    inputize_signal(signal_pub)
+    signal_sec = alloc_sec(wcs, input_sec)
+    circuit(signal_pub, signal_sec)
+    assert wcs.const_tracker_index == len(params.const_tracker), \
+        "not all cached data used"
+    inputs = [v.x for v in wcs.values_input]
+    aux = [v.x for v in wcs.values_aux]
+    return inputs, aux
+
+
+def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
+          alloc_pub: Callable, alloc_sec: Callable,
+          seed: Optional[bytes] = None) -> Tuple[list, Proof]:
+    """Returns (public_inputs, proof). Randomizers r,s from seed or OS."""
+    p = Fr.p
+    inputs, aux = generate_witness(
+        params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
+    )
+    z = inputs + aux
+    r1cs = params.r1cs
+    assert len(z) == r1cs.num_wires
+
+    az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
+                       r1cs.num_constraints, p)
+    bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
+                       r1cs.num_constraints, p)
+    cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
+                       r1cs.num_constraints, p)
+    # sanity: R1CS satisfied
+    for x, y, w_ in zip(az, bz, cz):
+        assert x * y % p == w_, "R1CS not satisfied"
+
+    h = compute_h_coeffs(params, az, bz, cz)
+
+    if seed is None:
+        seed = os.urandom(32)
+    sb = SeedboxChaCha20(b"groth16_prove" + seed)
+    r = sb.gen_num(Fr).x
+    s = sb.gen_num(Fr).x
+
+    pk = params.pk
+    # A = alpha + sum z_i u_i(tau) + r*delta
+    a_pt = g_add(
+        g_add(pk.alpha_g1, msm_host(pk.a_g1, z, p)),
+        g_mul(pk.delta_g1, r),
+    )
+    # B = beta + sum z_i v_i(tau) + s*delta (G2), B1 same in G1
+    b_pt = g_add(
+        g_add(pk.beta_g2, msm_host(pk.b_g2, z, p)),
+        g_mul(params.pk.delta_g2, s),
+    )
+    b1_pt = g_add(
+        g_add(pk.beta_g1, msm_host(pk.b_g1, z, p)),
+        g_mul(pk.delta_g1, s),
+    )
+    # C = sum_aux z_i l_i + sum h_i H_i + s*A + r*B1 - r*s*delta
+    c_pt = msm_host(pk.l_g1, aux, p)
+    c_pt = g_add(c_pt, msm_host(pk.h_g1, h, p))
+    c_pt = g_add(c_pt, g_mul(a_pt, s))
+    c_pt = g_add(c_pt, g_mul(b1_pt, r))
+    c_pt = g_add(c_pt, g_neg(g_mul(pk.delta_g1, r * s % p)))
+
+    return inputs[1:], Proof(a=a_pt, b=b_pt, c=c_pt)
