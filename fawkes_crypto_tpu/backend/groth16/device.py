@@ -1,0 +1,124 @@
+"""Device-resident proving-key queries + TPU MSM/NTT prover pipeline.
+
+This is where the Groth16 hot path (SURVEY.md §3.2 hot loops #3/#4 — QAP
+h(x) + the A/B/C MSMs of bellman's create_random_proof, invoked from
+/root/reference/fawkes-crypto/src/backend/bellman_groth16/prover.rs:80)
+actually runs on TPU. The CRS queries are encoded once per Parameters
+object and stay resident in HBM; each proof then costs 3 NTT pipelines +
+5 MSMs on device and only single-point host arithmetic afterwards.
+
+H-query layout: ops/ntt.py transforms produce coefficients in bit-reversed
+order, so the H points are stored bit-reversed too and the h scalars never
+get permuted at prove time (zero-gather design; the reference's bellman
+equivalent does an explicit bit-reversal pass per FFT).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...engines.bn256 import Fq, Fr
+from ...ff.jfield import FieldCtx
+from ...ff.jquad import QuadCtx
+from ...ops.curve import encode_points_g1, encode_points_g2
+from ...ops.msm import MSMCtx, encode_scalars, pad_msm_size
+from ...ops.ntt import NTTCtx, bitrev_permutation
+from ...ops.spmv import SpMV
+
+
+class DeviceProver:
+    """Per-Parameters device state: encoded queries + compiled kernels."""
+
+    def __init__(self, params):
+        self.params = params
+        self.fq = FieldCtx.get(Fq)
+        self.fr = FieldCtx.get(Fr)
+        self.qq = QuadCtx.get(Fq)
+        r1cs = params.r1cs
+        pk = params.pk
+        n = r1cs.domain
+        m = r1cs.num_wires
+
+        self.m_pad = pad_msm_size(m)
+        self.aux_pad = pad_msm_size(r1cs.num_aux)
+        pad_w = [None] * (self.m_pad - m)
+        pad_a = [None] * (self.aux_pad - r1cs.num_aux)
+
+        self.a_g1 = encode_points_g1(self.fq, pk.a_g1 + pad_w)
+        self.b_g1 = encode_points_g1(self.fq, pk.b_g1 + pad_w)
+        self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
+        self.l_g1 = encode_points_g1(self.fq, pk.l_g1 + pad_a)
+        # H query: pad to n with identity (top coefficient is always 0),
+        # then store in bit-reversed order to match the NTT output layout.
+        h_nat = pk.h_g1 + [None] * (n - len(pk.h_g1))
+        rev = bitrev_permutation(n)
+        self.h_g1 = encode_points_g1(self.fq, [h_nat[rev[i]] for i in range(n)])
+
+        self.msm_w_g1 = MSMCtx(self.fq, self.m_pad)
+        self.msm_w_g2 = MSMCtx(self.qq, self.m_pad)
+        self.msm_aux = (
+            self.msm_w_g1 if self.aux_pad == self.m_pad
+            else MSMCtx(self.fq, self.aux_pad)
+        )
+        self.msm_h = (
+            self.msm_w_g1 if n == self.m_pad else MSMCtx(self.fq, n)
+        )
+
+        # az/bz/cz sparse products (rows padded straight into the domain)
+        self.spmv_a = SpMV(self.fr, r1cs.a_rows, r1cs.a_cols, r1cs.a_vals,
+                           n, m)
+        self.spmv_b = SpMV(self.fr, r1cs.b_rows, r1cs.b_cols, r1cs.b_vals,
+                           n, m)
+        self.spmv_c = SpMV(self.fr, r1cs.c_rows, r1cs.c_cols, r1cs.c_vals,
+                           n, m)
+
+        # h-polynomial NTT pipeline constants
+        self.ntt = NTTCtx.get(self.fr, n)
+        g = Fr.generator
+        p = Fr.p
+        self.gp = self.ntt.shift_pows_br(g)
+        self.ginvp = self.ntt.shift_pows_br(pow(g, -1, p))
+        self.zinv = jnp.broadcast_to(
+            self.fr.const(pow(pow(g, n, p) - 1, -1, p)), (n, self.fr.k)
+        )
+
+    # ---- QAP h(x) ----------------------------------------------------------
+    def h_scalars_br(self, z_mont) -> jnp.ndarray:
+        """Witness z (num_wires, K) Montgomery on device -> h coefficients as
+        canonical limbs in bit-reversed order, (N, K). Entirely on device:
+        sparse matvecs, iNTT/coset/NTT pipeline, pointwise combine."""
+        f, ntt = self.fr, self.ntt
+
+        def pipeline(z):
+            az = self.spmv_a.apply(z)
+            bz = self.spmv_b.apply(z)
+            cz = self.spmv_c.apply(z)
+
+            def coset(x):
+                cbr = ntt.evals_to_coeffs_br(x)
+                return ntt.coeffs_br_to_evals(f.mont_mul(cbr, self.gp))
+
+            ea, eb, ec = coset(az), coset(bz), coset(cz)
+            h_ev = f.mont_mul(f.sub(f.mont_mul(ea, eb), ec), self.zinv)
+            h_br = f.mont_mul(ntt.evals_to_coeffs_br(h_ev), self.ginvp)
+            return f.from_mont(h_br)  # canonical limbs, MSM-ready
+
+        if not hasattr(self, "_jit_pipeline"):
+            self._jit_pipeline = jax.jit(pipeline)
+        return self._jit_pipeline(z_mont)
+
+    # ---- MSMs ---------------------------------------------------------------
+    def msms(self, z, aux, h_br):
+        """z, aux: host int lists (canonical); h_br: (N, K) canonical device
+        limbs. Returns device Jacobian points (a, b1, b2, l, h sums)."""
+        k = self.fq.k
+        z_sc = encode_scalars(z, self.m_pad, k)
+        aux_sc = encode_scalars(aux, self.aux_pad, k)
+        a = self.msm_w_g1.jit_msm(self.a_g1, z_sc)
+        b1 = self.msm_w_g1.jit_msm(self.b_g1, z_sc)
+        b2 = self.msm_w_g2.jit_msm(self.b_g2, z_sc)
+        l = self.msm_aux.jit_msm(self.l_g1, aux_sc)
+        h = self.msm_h.jit_msm(self.h_g1, h_br)
+        return a, b1, b2, l, h

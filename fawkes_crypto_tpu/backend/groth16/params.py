@@ -43,6 +43,9 @@ class Parameters:
     const_tracker: List[bool]
     witness_ops: dict
     n_public: int  # num_input - 1 (excluding ONE)
+    # recorded inputize() linear combinations, one per public input: the
+    # compiled witness program derives z_in from these (witness.py)
+    inputize_lcs: List[list] = field(default_factory=list)
 
 
 @dataclass

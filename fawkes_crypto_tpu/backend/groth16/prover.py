@@ -29,10 +29,19 @@ from .setup import inputize_signal
 
 
 def msm_host(points, scalars, p):
-    """Host MSM oracle: sum s_i * P_i (slow; TPU path in ops/msm.py)."""
+    """Host MSM: C++ Pippenger when available, pure-Python oracle else
+    (TPU path in ops/msm.py)."""
+    from ...native import cext
+
+    scalars = [s % p for s in scalars]
+    if cext.available() and points:
+        from ...native.bn_pairing import Fq2
+
+        is_g2 = any(pt is not None and isinstance(pt[0], Fq2)
+                    for pt in points)
+        return (cext.g2_msm if is_g2 else cext.g1_msm)(points, scalars)
     acc = None
     for pt, s in zip(points, scalars):
-        s %= p
         if s == 0 or pt is None:
             continue
         acc = g_add(acc, g_mul(pt, s))
@@ -91,8 +100,13 @@ def generate_witness(params: Parameters, input_pub, input_sec,
 
 def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
           alloc_pub: Callable, alloc_sec: Callable,
-          seed: Optional[bytes] = None) -> Tuple[list, Proof]:
-    """Returns (public_inputs, proof). Randomizers r,s from seed or OS."""
+          seed: Optional[bytes] = None,
+          device_msm: Optional[bool] = None) -> Tuple[list, Proof]:
+    """Returns (public_inputs, proof). Randomizers r,s from seed or OS.
+
+    device_msm: True -> TPU MSM/NTT pipeline (backend/groth16/device.py);
+    False -> host oracle path; None -> device for large circuits.
+    """
     p = Fr.p
     inputs, aux = generate_witness(
         params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
@@ -100,18 +114,19 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     z = inputs + aux
     r1cs = params.r1cs
     assert len(z) == r1cs.num_wires
+    if device_msm is None:
+        device_msm = r1cs.domain >= 4096
 
-    az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
-                       r1cs.num_constraints, p)
-    bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
-                       r1cs.num_constraints, p)
-    cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
-                       r1cs.num_constraints, p)
-    # sanity: R1CS satisfied
-    for x, y, w_ in zip(az, bz, cz):
-        assert x * y % p == w_, "R1CS not satisfied"
-
-    h = compute_h_coeffs(params, az, bz, cz)
+    if not device_msm:
+        az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
+                           r1cs.num_constraints, p)
+        bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
+                           r1cs.num_constraints, p)
+        cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
+                           r1cs.num_constraints, p)
+        # sanity: R1CS satisfied
+        for x, y, w_ in zip(az, bz, cz):
+            assert x * y % p == w_, "R1CS not satisfied"
 
     if seed is None:
         seed = os.urandom(32)
@@ -120,23 +135,37 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     s = sb.gen_num(Fr).x
 
     pk = params.pk
+    if device_msm:
+        import jax.numpy as jnp
+
+        from ...ops.curve import decode_point_g1, decode_point_g2
+        from .device import DeviceProver
+
+        dp = params.__dict__.setdefault("_device_prover", None)
+        if dp is None:
+            dp = DeviceProver(params)
+            params.__dict__["_device_prover"] = dp
+        z_mont = jnp.asarray(dp.fr.encode(z))
+        h_br = dp.h_scalars_br(z_mont)
+        a_d, b1_d, b2_d, l_d, h_d = dp.msms(z, aux, h_br)
+        a_msm = decode_point_g1(dp.fq, a_d)
+        b1_msm = decode_point_g1(dp.fq, b1_d)
+        b2_msm = decode_point_g2(dp.qq, b2_d)
+        lh_msm = g_add(decode_point_g1(dp.fq, l_d), decode_point_g1(dp.fq, h_d))
+    else:
+        h = compute_h_coeffs(params, az, bz, cz)
+        a_msm = msm_host(pk.a_g1, z, p)
+        b1_msm = msm_host(pk.b_g1, z, p)
+        b2_msm = msm_host(pk.b_g2, z, p)
+        lh_msm = g_add(msm_host(pk.l_g1, aux, p), msm_host(pk.h_g1, h, p))
+
     # A = alpha + sum z_i u_i(tau) + r*delta
-    a_pt = g_add(
-        g_add(pk.alpha_g1, msm_host(pk.a_g1, z, p)),
-        g_mul(pk.delta_g1, r),
-    )
+    a_pt = g_add(g_add(pk.alpha_g1, a_msm), g_mul(pk.delta_g1, r))
     # B = beta + sum z_i v_i(tau) + s*delta (G2), B1 same in G1
-    b_pt = g_add(
-        g_add(pk.beta_g2, msm_host(pk.b_g2, z, p)),
-        g_mul(params.pk.delta_g2, s),
-    )
-    b1_pt = g_add(
-        g_add(pk.beta_g1, msm_host(pk.b_g1, z, p)),
-        g_mul(pk.delta_g1, s),
-    )
+    b_pt = g_add(g_add(pk.beta_g2, b2_msm), g_mul(pk.delta_g2, s))
+    b1_pt = g_add(g_add(pk.beta_g1, b1_msm), g_mul(pk.delta_g1, s))
     # C = sum_aux z_i l_i + sum h_i H_i + s*A + r*B1 - r*s*delta
-    c_pt = msm_host(pk.l_g1, aux, p)
-    c_pt = g_add(c_pt, msm_host(pk.h_g1, h, p))
+    c_pt = lh_msm
     c_pt = g_add(c_pt, g_mul(a_pt, s))
     c_pt = g_add(c_pt, g_mul(b1_pt, r))
     c_pt = g_add(c_pt, g_neg(g_mul(pk.delta_g1, r * s % p)))

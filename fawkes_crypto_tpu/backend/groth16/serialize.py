@@ -1,0 +1,209 @@
+"""Wire formats + on-disk persistence for Groth16 artifacts.
+
+Mirrors the reference's artifact layer:
+- Proof/VK byte format follows the reference's borsh encoding — G1 as two
+  32-byte canonical LE field elements, G2 as (c1?, see below) pairs, the
+  identity as all-zero coordinates
+  (/root/reference/fawkes-crypto/src/backend/bellman_groth16/group.rs:13-123,
+  prover.rs:38-60, verifier.rs:45-73; Num borsh = canonical LE limbs,
+  ff-uint_derive/src/lib.rs:687-702).
+- Fq2 components serialize in (c0, c1) order, matching the reference's
+  G2Point((x.c0,x.c1),(y.c0,y.c1)) tuple layout (group.rs:23-27).
+- Parameters persist as a single .npz (COO R1CS + affine point tables +
+  const tracker), the analog of Parameters::write/read
+  (mod.rs:150-177) with the brotli gate blob replaced by numpy's
+  compressed container (SURVEY.md §2.2 "dense/COO tensor serialization").
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...native.bn_pairing import Fq2
+from .params import VK, Parameters, Proof, ProvingKey
+from .qap import R1CS
+
+_FQ_BYTES = 32
+
+
+# ---- scalar/point primitives -------------------------------------------------
+
+def _fq_to_bytes(x: int) -> bytes:
+    return int(x).to_bytes(_FQ_BYTES, "little")
+
+
+def _fq_from(buf: memoryview, off: int) -> Tuple[int, int]:
+    return int.from_bytes(bytes(buf[off:off + _FQ_BYTES]), "little"), off + _FQ_BYTES
+
+
+def g1_to_bytes(p) -> bytes:
+    if p is None:
+        return b"\x00" * (2 * _FQ_BYTES)
+    return _fq_to_bytes(p[0]) + _fq_to_bytes(p[1])
+
+
+def g1_from_bytes(buf: memoryview, off: int = 0):
+    x, off = _fq_from(buf, off)
+    y, off = _fq_from(buf, off)
+    return (None if x == 0 and y == 0 else (x, y)), off
+
+
+def g2_to_bytes(p) -> bytes:
+    if p is None:
+        return b"\x00" * (4 * _FQ_BYTES)
+    x, y = p
+    return (_fq_to_bytes(x.c0) + _fq_to_bytes(x.c1)
+            + _fq_to_bytes(y.c0) + _fq_to_bytes(y.c1))
+
+
+def g2_from_bytes(buf: memoryview, off: int = 0):
+    x0, off = _fq_from(buf, off)
+    x1, off = _fq_from(buf, off)
+    y0, off = _fq_from(buf, off)
+    y1, off = _fq_from(buf, off)
+    if x0 == x1 == y0 == y1 == 0:
+        return None, off
+    return (Fq2(x0, x1), Fq2(y0, y1)), off
+
+
+# ---- Proof / VK ----------------------------------------------------------------
+
+def proof_to_bytes(proof: Proof) -> bytes:
+    return g1_to_bytes(proof.a) + g2_to_bytes(proof.b) + g1_to_bytes(proof.c)
+
+
+def proof_from_bytes(data: bytes) -> Proof:
+    buf = memoryview(data)
+    a, off = g1_from_bytes(buf, 0)
+    b, off = g2_from_bytes(buf, off)
+    c, off = g1_from_bytes(buf, off)
+    assert off == len(data), "trailing bytes in proof"
+    return Proof(a=a, b=b, c=c)
+
+
+def vk_to_bytes(vk: VK) -> bytes:
+    out = io.BytesIO()
+    out.write(g1_to_bytes(vk.alpha))
+    out.write(g2_to_bytes(vk.beta))
+    out.write(g2_to_bytes(vk.gamma))
+    out.write(g2_to_bytes(vk.delta))
+    out.write(len(vk.ic).to_bytes(4, "little"))  # borsh Vec<u32 len>
+    for pt in vk.ic:
+        out.write(g1_to_bytes(pt))
+    return out.getvalue()
+
+
+def vk_from_bytes(data: bytes) -> VK:
+    buf = memoryview(data)
+    alpha, off = g1_from_bytes(buf, 0)
+    beta, off = g2_from_bytes(buf, off)
+    gamma, off = g2_from_bytes(buf, off)
+    delta, off = g2_from_bytes(buf, off)
+    n = int.from_bytes(bytes(buf[off:off + 4]), "little")
+    off += 4
+    ic = []
+    for _ in range(n):
+        pt, off = g1_from_bytes(buf, off)
+        ic.append(pt)
+    assert off == len(data), "trailing bytes in vk"
+    return VK(alpha=alpha, beta=beta, gamma=gamma, delta=delta, ic=ic)
+
+
+# ---- Parameters <-> npz ---------------------------------------------------------
+
+def _g1s_to_array(pts: List) -> np.ndarray:
+    out = np.zeros((len(pts), 2 * _FQ_BYTES), dtype=np.uint8)
+    for i, p in enumerate(pts):
+        out[i] = np.frombuffer(g1_to_bytes(p), dtype=np.uint8)
+    return out
+
+
+def _g1s_from_array(arr: np.ndarray) -> List:
+    return [g1_from_bytes(memoryview(row.tobytes()))[0] for row in arr]
+
+
+def _g2s_to_array(pts: List) -> np.ndarray:
+    out = np.zeros((len(pts), 4 * _FQ_BYTES), dtype=np.uint8)
+    for i, p in enumerate(pts):
+        out[i] = np.frombuffer(g2_to_bytes(p), dtype=np.uint8)
+    return out
+
+
+def _g2s_from_array(arr: np.ndarray) -> List:
+    return [g2_from_bytes(memoryview(row.tobytes()))[0] for row in arr]
+
+
+def _vals_to_array(vals: List[int]) -> np.ndarray:
+    out = np.zeros((len(vals), _FQ_BYTES), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        out[i] = np.frombuffer(_fq_to_bytes(v), dtype=np.uint8)
+    return out
+
+
+def _vals_from_array(arr: np.ndarray) -> List[int]:
+    return [int.from_bytes(row.tobytes(), "little") for row in arr]
+
+
+def write_parameters(path: str, params: Parameters) -> None:
+    r = params.r1cs
+    np.savez_compressed(
+        path,
+        meta=np.asarray(
+            [r.num_input, r.num_aux, r.num_constraints, r.domain,
+             params.n_public],
+            dtype=np.int64,
+        ),
+        a_rows=r.a_rows, a_cols=r.a_cols, a_vals=_vals_to_array(r.a_vals),
+        b_rows=r.b_rows, b_cols=r.b_cols, b_vals=_vals_to_array(r.b_vals),
+        c_rows=r.c_rows, c_cols=r.c_cols, c_vals=_vals_to_array(r.c_vals),
+        const_tracker=np.asarray(params.const_tracker, dtype=np.bool_),
+        vk=np.frombuffer(vk_to_bytes(params.vk), dtype=np.uint8),
+        pk_alpha_g1=_g1s_to_array([params.pk.alpha_g1]),
+        pk_beta_g1=_g1s_to_array([params.pk.beta_g1]),
+        pk_beta_g2=_g2s_to_array([params.pk.beta_g2]),
+        pk_delta_g1=_g1s_to_array([params.pk.delta_g1]),
+        pk_delta_g2=_g2s_to_array([params.pk.delta_g2]),
+        pk_a_g1=_g1s_to_array(params.pk.a_g1),
+        pk_b_g1=_g1s_to_array(params.pk.b_g1),
+        pk_b_g2=_g2s_to_array(params.pk.b_g2),
+        pk_l_g1=_g1s_to_array(params.pk.l_g1),
+        pk_h_g1=_g1s_to_array(params.pk.h_g1),
+    )
+
+
+def read_parameters(path: str) -> Parameters:
+    z = np.load(path, allow_pickle=False)
+    num_input, num_aux, num_constraints, domain, n_public = (
+        int(v) for v in z["meta"]
+    )
+    r1cs = R1CS(
+        num_input=num_input, num_aux=num_aux,
+        num_constraints=num_constraints, domain=domain,
+        a_rows=z["a_rows"], a_cols=z["a_cols"],
+        a_vals=_vals_from_array(z["a_vals"]),
+        b_rows=z["b_rows"], b_cols=z["b_cols"],
+        b_vals=_vals_from_array(z["b_vals"]),
+        c_rows=z["c_rows"], c_cols=z["c_cols"],
+        c_vals=_vals_from_array(z["c_vals"]),
+    )
+    vk = vk_from_bytes(z["vk"].tobytes())
+    pk = ProvingKey(
+        alpha_g1=_g1s_from_array(z["pk_alpha_g1"])[0],
+        beta_g1=_g1s_from_array(z["pk_beta_g1"])[0],
+        beta_g2=_g2s_from_array(z["pk_beta_g2"])[0],
+        delta_g1=_g1s_from_array(z["pk_delta_g1"])[0],
+        delta_g2=_g2s_from_array(z["pk_delta_g2"])[0],
+        a_g1=_g1s_from_array(z["pk_a_g1"]),
+        b_g1=_g1s_from_array(z["pk_b_g1"]),
+        b_g2=_g2s_from_array(z["pk_b_g2"]),
+        l_g1=_g1s_from_array(z["pk_l_g1"]),
+        h_g1=_g1s_from_array(z["pk_h_g1"]),
+    )
+    return Parameters(
+        vk=vk, pk=pk, r1cs=r1cs,
+        const_tracker=[bool(b) for b in z["const_tracker"]],
+        witness_ops={}, n_public=n_public,
+    )

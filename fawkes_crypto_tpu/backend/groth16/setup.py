@@ -65,11 +65,20 @@ def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
     gamma_inv = pow(gamma, -1, p)
     delta_inv = pow(delta, -1, p)
 
-    def g1(s):
-        return g_mul(G1_GEN, s % p)
+    from ...native import cext
 
-    def g2(s):
-        return g_mul(G2_GEN, s % p)
+    if cext.available():
+        def g1(s):
+            return cext.g1_mul(G1_GEN, s % p)
+
+        def g2(s):
+            return cext.g2_mul(G2_GEN, s % p)
+    else:
+        def g1(s):
+            return g_mul(G1_GEN, s % p)
+
+        def g2(s):
+            return g_mul(G2_GEN, s % p)
 
     num_input = r1cs.num_input
     m = r1cs.num_wires
@@ -100,4 +109,5 @@ def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
         const_tracker=list(cs.const_tracker),
         witness_ops=dict(cs.witness_ops),
         n_public=num_input - 1,
+        inputize_lcs=[list(lc) for lc in cs.inputize_lcs],
     )

@@ -17,9 +17,19 @@ from .params import VK, Proof
 def verify(vk: VK, proof: Proof, inputs: List[int]) -> bool:
     if len(inputs) + 1 != len(vk.ic):
         return False
+    from ...native import cext
+
+    xs = [x.x if hasattr(x, "x") else x % Fr.p for x in inputs]
+    if cext.available():
+        acc = cext.g1_msm(vk.ic, [1] + xs)
+        return cext.pairing_is_one([
+            (g_neg(proof.a), proof.b),
+            (vk.alpha, vk.beta),
+            (acc, vk.gamma),
+            (proof.c, vk.delta),
+        ])
     acc = vk.ic[0]
-    for x, pt in zip(inputs, vk.ic[1:]):
-        x = x.x if hasattr(x, "x") else x
+    for x, pt in zip(xs, vk.ic[1:]):
         acc = g_add(acc, g_mul(pt, x % Fr.p))
     out = multi_pairing([
         (g_neg(proof.a), proof.b),

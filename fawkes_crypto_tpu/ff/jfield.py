@@ -7,16 +7,26 @@ vectorize over leading batch dims. Montgomery radix R = 2^(16K) equals the
 reference's R = 2^(64*words), so Montgomery representations interoperate
 bit-for-bit.
 
-Core algorithm: product-scan wide multiply (column sums of 16x16->32 partial
-products stay < 2^23, no per-step carries) followed by interleaved REDC with
-one normalization per step. Everything is branchless elementwise uint32 -
-exactly what the VPU wants; XLA fuses each mont-mul into a handful of kernels.
+Kernel design is compile-light as well as run-light — these ops get inlined
+hundreds of times into prover graphs (NTT stages, EC adds), so the HLO per
+multiply must stay tiny:
+
+- wide products: one (K x K) outer product, split lo/hi (16x16->32 exact in
+  uint32), anti-diagonal column sums via a single pad+reshape skew — no
+  scatters, no dynamic-update-slice;
+- Montgomery reduction: non-interleaved REDC — m = (T mod R)*INV mod R as a
+  second product, U = (T + m*p)/R as a third (2.5 K^2 multiplies total);
+- carry/borrow propagation: lax.scan over the limb axis (one tiny compiled
+  body instead of K unrolled update steps).
+
+Column sums stay < 2^22 (2K terms of 16-bit lo/hi parts), so everything is
+exact in uint32 lanes with zero per-step carries.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +39,20 @@ MASK = jnp.uint32(LIMB_MASK)
 U32 = jnp.uint32
 
 
-def _unstack(x) -> List[jax.Array]:
-    return [x[..., i] for i in range(x.shape[-1])]
+def _skew_cols(m: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(..., R, C) -> (..., w): out[c] = sum_{i+j=c} m[i, j].
 
-
-def _stack(xs: List[jax.Array]) -> jax.Array:
-    return jnp.stack(xs, axis=-1)
+    Row i is shifted right by i via one pad + reshape: padding each row to
+    width w+1 and reflattening lands element (i, j) at flat index
+    i*(w+1)+j = i*w + (i+j), i.e. column i+j of a width-w matrix.
+    Requires R + C - 1 <= w.
+    """
+    r, c = m.shape[-2], m.shape[-1]
+    lead = m.shape[:-2]
+    pad = [(0, 0)] * len(lead) + [(0, 0), (0, w + 1 - c)]
+    flat = jnp.pad(m, pad).reshape(lead + (r * (w + 1),))
+    flat = flat[..., : r * w].reshape(lead + (r, w))
+    return flat.sum(axis=-2, dtype=jnp.uint32)
 
 
 class FieldCtx:
@@ -47,8 +65,13 @@ class FieldCtx:
         self.k = n_limbs_for(fld.word_count)
         k = self.k
         self.p_limbs = tuple(int(v) for v in int_to_limbs(fld.p, k))
-        self.inv16 = int(fld.inv16)  # -p^-1 mod 2^16
-        self.r_mont = tuple(int(v) for v in int_to_limbs(fld.R % fld.p, k))  # 1 in mont
+        self.p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
+        # full -p^-1 mod 2^(16K) for non-interleaved REDC
+        r_mod = 1 << (LIMB_BITS * k)
+        self.inv_full = (-pow(fld.p, -1, r_mod)) % r_mod
+        self.inv_vec = jnp.asarray(int_to_limbs(self.inv_full, k))
+        self.inv16 = int(fld.inv16)  # -p^-1 mod 2^16 (kept for kernels)
+        self.r_mont = tuple(int(v) for v in int_to_limbs(fld.R % fld.p, k))
         self.r2 = tuple(int(v) for v in int_to_limbs(fld.R2, k))
         self.zero = tuple(0 for _ in range(k))
 
@@ -89,94 +112,111 @@ class FieldCtx:
         v = self.fld.to_mont(x % self.fld.p) if mont else x % self.fld.p
         return jnp.asarray(int_to_limbs(v, self.k))
 
-    # ---- carries -----------------------------------------------------------
-    def _carry_norm(self, t: List[jax.Array], out_limbs: int) -> List[jax.Array]:
-        """Sequential carry propagation: columns (any magnitude) -> 16-bit limbs."""
-        res = []
-        carry = jnp.zeros_like(t[0])
-        for i in range(out_limbs):
-            v = (t[i] if i < len(t) else jnp.zeros_like(t[0])) + carry
-            res.append(v & MASK)
-            carry = v >> LIMB_BITS
-        return res
+    # ---- carry machinery (lax.scan over the limb axis) ---------------------
+    @staticmethod
+    def _carry_scan(t: jnp.ndarray, out_limbs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Columns (any magnitude < 2^31) -> (normalized 16-bit limbs, carry).
 
-    def _cond_sub_p(self, r: List[jax.Array], top: jax.Array) -> List[jax.Array]:
-        """r (K limbs) + top extra limb, r + top*2^(16K) < 2p: subtract p iff >= p."""
-        k = self.k
-        borrow = jnp.zeros_like(r[0])
-        d = []
-        for i in range(k):
-            tmp = r[i] + U32(0x10000 - self.p_limbs[i]) - borrow
-            d.append(tmp & MASK)
-            borrow = U32(1) - (tmp >> LIMB_BITS)
-        # ge = (top part covers borrow) : value >= p iff top > 0 or borrow == 0
+        t: (..., n); returns ((..., out_limbs), (...,) final carry).
+        """
+        n = t.shape[-1]
+        if n < out_limbs:
+            t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, out_limbs - n)])
+        elif n > out_limbs:
+            t = t[..., :out_limbs]
+        cols = jnp.moveaxis(t, -1, 0)
+
+        def step(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & MASK
+
+        carry, limbs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+        return jnp.moveaxis(limbs, 0, -1), carry
+
+    def _borrow_sub(self, a: jnp.ndarray, b: jnp.ndarray):
+        """Limbwise a - b -> (16-bit diff limbs, final borrow (0/1))."""
+        cols = jnp.moveaxis(jnp.stack([a, b], axis=-1), -2, 0)  # (K, ..., 2)
+
+        def step(borrow, ab):
+            v = ab[..., 0] + U32(1 << LIMB_BITS) - ab[..., 1] - borrow
+            return U32(1) - (v >> LIMB_BITS), v & MASK
+
+        borrow, limbs = jax.lax.scan(
+            step, jnp.zeros_like(a[..., 0]), cols
+        )
+        return jnp.moveaxis(limbs, 0, -1), borrow
+
+    def _cond_sub_p(self, r: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
+        """r (..., K) + top*2^(16K) < 2p: subtract p iff value >= p."""
+        d, borrow = self._borrow_sub(r, jnp.broadcast_to(self.p_vec, r.shape))
         ge = (top > 0) | (borrow == 0)
-        return [jnp.where(ge, d[i], r[i]) for i in range(k)]
+        return jnp.where(ge[..., None], d, r)
 
     # ---- public ops (stacked (..., K) uint32) -------------------------------
     def add(self, a, b):
-        al, bl = _unstack(a), _unstack(b)
-        t = [x + y for x, y in zip(al, bl)]
-        r = self._carry_norm(t, self.k + 1)
-        return _stack(self._cond_sub_p(r[: self.k], r[self.k]))
+        t = (a + b).astype(jnp.uint32)
+        r, carry = self._carry_scan(t, self.k)
+        return self._cond_sub_p(r, carry)
 
     def sub(self, a, b):
-        al, bl = _unstack(a), _unstack(b)
-        k = self.k
-        borrow = jnp.zeros_like(al[0])
-        d = []
-        for i in range(k):
-            tmp = al[i] + U32(0x10000) - bl[i] - borrow
-            d.append(tmp & MASK)
-            borrow = U32(1) - (tmp >> LIMB_BITS)
+        a, b = jnp.broadcast_arrays(a, b)
+        d, borrow = self._borrow_sub(a, b)
         # add p back where borrowed
-        carry = jnp.zeros_like(al[0])
-        out = []
-        addp = jnp.where(borrow > 0, U32(1), U32(0))
-        for i in range(k):
-            v = d[i] + addp * U32(self.p_limbs[i]) + carry
-            out.append(v & MASK)
-            carry = v >> LIMB_BITS
-        return _stack(out)
+        t = d + jnp.where(
+            (borrow > 0)[..., None], self.p_vec, jnp.uint32(0)
+        )
+        r, _ = self._carry_scan(t, self.k)
+        return r
 
     def neg(self, a):
-        return self.sub(self.zeros_like(a), a)
+        return self.sub(jnp.zeros_like(a), a)
 
     def zeros_like(self, a):
         return jnp.zeros_like(a)
 
-    def mont_mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p, branchless.
-
-        Tensorized per-limb-row accumulation keeps the XLA graph ~10x smaller
-        than a fully unrolled schoolbook: column sums of 16x16->32 partial
-        products stay < 2^23, so no per-step carries are needed; the REDC
-        digit loop is the only sequential chain (k steps).
-        """
+    def _wide_cols(self, a, b) -> jnp.ndarray:
+        """Exact product columns: (..., K) x (..., K) -> (..., 2K), each
+        column < 2K * 2^16 (sums of 16-bit lo/hi parts)."""
         k = self.k
-        p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
-        # wide product columns t[0..2k]; broadcast leading dims of a and b
-        lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        t = jnp.zeros(lead + (2 * k + 1,), dtype=jnp.uint32)
-        for i in range(k):
-            prod = a[..., i : i + 1] * b  # (..., k)
-            t = t.at[..., i : i + k].add(prod & MASK)
-            t = t.at[..., i + 1 : i + k + 1].add(prod >> LIMB_BITS)
-        # interleaved REDC, one 16-bit digit per step
-        inv16 = U32(self.inv16)
-        for i in range(k):
-            ti_raw = t[..., i]
-            ti = ti_raw & MASK
-            m = (ti * inv16) & MASK
-            prod = m[..., None] * p_vec  # (..., k)
-            lo = prod & MASK
-            t = t.at[..., i : i + k].add(lo)
-            t = t.at[..., i + 1].add(
-                (ti_raw >> LIMB_BITS) + ((ti + lo[..., 0]) >> LIMB_BITS)
-            )
-            t = t.at[..., i + 1 : i + k + 1].add(prod >> LIMB_BITS)
-        r = self._carry_norm(_unstack(t[..., k:]), self.k + 1)
-        return _stack(self._cond_sub_p(r[: self.k], r[self.k]))
+        prod = a[..., :, None] * b[..., None, :]  # (..., K, K) exact u32
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        t = _skew_cols(lo, 2 * k)
+        # hi parts land one column higher: prepend a zero column
+        hi = jnp.pad(hi, [(0, 0)] * (hi.ndim - 2) + [(0, 0), (1, 0)])
+        return t + _skew_cols(hi, 2 * k)
+
+    def _redc(self, t):
+        """Montgomery reduction of product columns: t (..., 2K) with
+        value(t) < R*p and columns < 2^31 -> canonical value(t)*R^-1 mod p."""
+        k = self.k
+        # m = (T mod R) * INV mod R
+        t_lo, _ = self._carry_scan(t[..., :k], k)
+        m_cols = self._wide_cols(t_lo, jnp.broadcast_to(self.inv_vec, t_lo.shape))
+        m, _ = self._carry_scan(m_cols[..., :k], k)
+        # U = T + m*p; U mod R == 0; result = U / R < 2p
+        u = t + self._wide_cols(m, jnp.broadcast_to(self.p_vec, m.shape))
+        limbs, carry = self._carry_scan(u, 2 * k)
+        return self._cond_sub_p(limbs[..., k:], carry)
+
+    def mont_mul(self, a, b):
+        """Montgomery product a*b*R^-1 mod p, branchless non-interleaved REDC."""
+        a, b = jnp.broadcast_arrays(a, b)
+        return self._redc(self._wide_cols(a, b))
+
+    def reduce_cols(self, t):
+        """Wide-accumulator reduction: t (..., M<=2K) uint32 columns (e.g.
+        limbwise segment sums, each < 2^31, value < R*p) -> value mod p.
+
+        Used by the device sparse matvec: linear accumulation happens on raw
+        limb columns, one REDC + Montgomery fixup folds the result back."""
+        k = self.k
+        m = t.shape[-1]
+        if m < 2 * k:
+            t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, 2 * k - m)])
+        v = self._redc(t)  # value * R^-1 mod p
+        r2 = jnp.broadcast_to(jnp.asarray(self.r2, dtype=jnp.uint32), v.shape)
+        return self.mont_mul(v, r2)  # * R^2 * R^-1 = value mod p
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)

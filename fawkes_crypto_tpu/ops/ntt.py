@@ -5,13 +5,18 @@ Replaces the FFT inside the reference's external bellman_ce prover
 the QAP evaluation iFFT/FFT/coset steps; SURVEY.md §2.4). BN254 Fr has
 2-adicity 28, plenty for 2^26-point domains.
 
-Design (TPU-first):
-- radix-2 stages expressed as reshapes + batched limb butterflies — fully
-  static shapes, no gathers, no data-dependent control flow;
-- DIF forward (natural -> bit-reversed) paired with DIT inverse
-  (bit-reversed -> natural), so NO runtime bit-reversal permutation is ever
-  needed: pointwise work happens in bit-reversed order and the Groth16 CRS
-  H-query is stored bit-reversed instead (see backend/groth16/setup.py);
+Design (TPU-first, compile-light):
+- constant-geometry (Pease) radix-2 network: EVERY stage has the identical
+  dataflow — split halves, butterfly, interleave — so the whole transform
+  is ONE lax.scan over log2(N) stages (one compiled butterfly body, not
+  log2(N) inlined ones). Stage-s twiddle for lane i is w^(2^s * (i >> s)),
+  gathered from the single (N/2, K) power table with static-shape ops;
+- forward network: natural order in -> bit-reversed order out; inverse
+  network (deinterleave, mirrored stage order, inverse twiddles):
+  bit-reversed in -> natural out. NO runtime bit-reversal permutation is
+  ever needed: pointwise work happens in bit-reversed order and the
+  Groth16 CRS H-query is stored bit-reversed instead (backend/groth16/
+  device.py);
 - coset evaluation via precomputed (bit-reversed) shift-power vectors.
 
 All tensors are (..., N, K) uint32 Montgomery limbs.
@@ -56,8 +61,8 @@ class NTTCtx:
         winv = pow(w, -1, fld.p)
         self.w = w
         # powers w^0 .. w^(n/2-1), Montgomery form
-        self.w_pows = self._pow_table(w, n // 2)
-        self.winv_pows = self._pow_table(winv, n // 2)
+        self.w_pows = jnp.asarray(self._pow_table(w, max(n // 2, 1)))
+        self.winv_pows = jnp.asarray(self._pow_table(winv, max(n // 2, 1)))
         self.n_inv = jnp.asarray(
             self._enc_one(pow(n, -1, fld.p)), dtype=jnp.uint32
         )
@@ -71,7 +76,6 @@ class NTTCtx:
             m = fld.to_mont(acc)
             for j in range(k):
                 out[i, j] = (m >> (LIMB_BITS * j)) & LIMB_MASK
-        # tight loop: fill montgomery forms while stepping acc
             acc = (acc * base) % fld.p
         return out
 
@@ -92,54 +96,73 @@ class NTTCtx:
         return cls._cache[key]
 
     # --- transforms ---------------------------------------------------------
-    def _dif(self, x, pows: np.ndarray):
-        """Decimation-in-frequency: natural in -> bit-reversed out."""
+    def _stage_tw(self, pows, s):
+        """Twiddles for Pease stage s: pows[(i >> s) << s], i < N/2."""
+        idx = jnp.arange(self.n // 2, dtype=jnp.int32)
+        return jnp.take(pows, (idx >> s) << s, axis=0)
+
+    def _fwd(self, x, pows):
+        """Constant-geometry forward: natural in -> bit-reversed out.
+
+        Each stage: (u, w) = halves; out = interleave(u+w, (u-w)*tw_s).
+        """
         f = self.fctx
         n, k = self.n, f.k
+        if self.logn == 0:
+            return x
         lead = x.shape[:-2]
-        for h in (1 << s for s in range(self.logn - 1, -1, -1)):
-            stride = n // (2 * h)
-            tw = jnp.asarray(pows[: h * stride : stride])  # (h, K)
-            v = x.reshape(lead + (n // (2 * h), 2, h, k))
-            u, w_ = v[..., 0, :, :], v[..., 1, :, :]
+
+        def stage(xc, s):
+            u = xc[..., : n // 2, :]
+            w_ = xc[..., n // 2 :, :]
+            tw = self._stage_tw(pows, s)
             top = f.add(u, w_)
             bot = f.mont_mul(f.sub(u, w_), tw)
-            x = jnp.stack([top, bot], axis=-3).reshape(lead + (n, k))
+            out = jnp.stack([top, bot], axis=-2)  # (..., n/2, 2, k)
+            return out.reshape(lead + (n, k)), None
+
+        x, _ = jax.lax.scan(stage, x, jnp.arange(self.logn, dtype=jnp.int32))
         return x
 
-    def _dit(self, x, pows: np.ndarray):
-        """Decimation-in-time: bit-reversed in -> natural out."""
+    def _inv(self, x, pows):
+        """Mirror inverse network: bit-reversed in -> natural out, scaled
+        by N (callers multiply by n_inv)."""
         f = self.fctx
         n, k = self.n, f.k
+        if self.logn == 0:
+            return x
         lead = x.shape[:-2]
-        for h in (1 << s for s in range(self.logn)):
-            stride = n // (2 * h)
-            tw = jnp.asarray(pows[: h * stride : stride])  # (h, K)
-            v = x.reshape(lead + (n // (2 * h), 2, h, k))
-            u, w_ = v[..., 0, :, :], v[..., 1, :, :]
-            wv = f.mont_mul(w_, tw)
-            top = f.add(u, wv)
-            bot = f.sub(u, wv)
-            x = jnp.stack([top, bot], axis=-3).reshape(lead + (n, k))
+
+        def stage(xc, s):
+            v = xc.reshape(lead + (n // 2, 2, k))
+            u = v[..., 0, :]
+            w_ = v[..., 1, :]
+            tw = self._stage_tw(pows, s)
+            wt = f.mont_mul(w_, tw)
+            out = jnp.concatenate([f.add(u, wt), f.sub(u, wt)], axis=-2)
+            return out, None
+
+        stages = jnp.arange(self.logn - 1, -1, -1, dtype=jnp.int32)
+        x, _ = jax.lax.scan(stage, x, stages)
         return x
 
     def ntt(self, coeffs):
         """coeffs (natural order) -> evaluations (bit-reversed order)."""
-        return self._dif(coeffs, self.w_pows)
+        return self._fwd(coeffs, self.w_pows)
 
     def intt(self, evals_br):
         """evaluations (bit-reversed order) -> coeffs (natural order)."""
-        x = self._dit(evals_br, self.winv_pows)
+        x = self._inv(evals_br, self.winv_pows)
         return self.fctx.mont_mul(x, self.n_inv)
 
     def evals_to_coeffs_br(self, evals_nat):
         """evaluations (natural) -> coeffs (bit-reversed)."""
-        x = self._dif(evals_nat, self.winv_pows)
+        x = self._fwd(evals_nat, self.winv_pows)
         return self.fctx.mont_mul(x, self.n_inv)
 
     def coeffs_br_to_evals(self, coeffs_br):
         """coeffs (bit-reversed) -> evaluations (natural)."""
-        return self._dit(coeffs_br, self.w_pows)
+        return self._inv(coeffs_br, self.w_pows)
 
     # --- jitted entry points -------------------------------------------------
     @functools.cached_property
@@ -163,7 +186,6 @@ class NTTCtx:
         """(g^i) for i in bit-reversed index order, Montgomery (N, K)."""
         fld = self.fctx.fld
         rev = bitrev_permutation(self.n)
-        pows = np.zeros((self.n, self.fctx.k), dtype=np.uint32)
         acc = 1
         tmp = np.zeros((self.n, self.fctx.k), dtype=np.uint32)
         for i in range(self.n):
@@ -171,5 +193,4 @@ class NTTCtx:
             for j in range(self.fctx.k):
                 tmp[i, j] = (m >> (LIMB_BITS * j)) & LIMB_MASK
             acc = (acc * g) % fld.p
-        pows = tmp[rev]
-        return jnp.asarray(pows)
+        return jnp.asarray(tmp[rev])
