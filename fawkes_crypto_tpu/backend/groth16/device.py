@@ -22,8 +22,9 @@ import numpy as np
 from ...engines.bn256 import Fq, Fr
 from ...ff.jfield import FieldCtx
 from ...ff.jquad import QuadCtx
-from ...ops.curve import encode_points_g1, encode_points_g2
+from ...ops.curve import encode_points_g2
 from ...ops.msm import MSMCtx, encode_scalars, pad_msm_size
+from ...ops.msm_wave import MSMWave, encode_points_affine_rows
 from ...ops.ntt import NTTCtx, bitrev_permutation
 from ...ops.spmv import SpMV
 
@@ -42,29 +43,47 @@ class DeviceProver:
         m = r1cs.num_wires
 
         self.m_pad = pad_msm_size(m)
-        self.aux_pad = pad_msm_size(r1cs.num_aux)
         pad_w = [None] * (self.m_pad - m)
-        pad_a = [None] * (self.aux_pad - r1cs.num_aux)
 
-        self.a_g1 = encode_points_g1(self.fq, pk.a_g1 + pad_w)
-        self.b_g1 = encode_points_g1(self.fq, pk.b_g1 + pad_w)
-        self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
-        self.l_g1 = encode_points_g1(self.fq, pk.l_g1 + pad_a)
-        # H query: pad to n with identity (top coefficient is always 0),
-        # then store in bit-reversed order to match the NTT output layout.
+        # Pallas wave MSM needs a real TPU (Mosaic); the XLA MSM covers the
+        # virtual-CPU test mesh. G2 always takes the XLA path for now
+        # (Fq2 Pallas kernels: future work).
+        self.use_wave = jax.default_backend() == "tpu"
         h_nat = pk.h_g1 + [None] * (n - len(pk.h_g1))
         rev = bitrev_permutation(n)
-        self.h_g1 = encode_points_g1(self.fq, [h_nat[rev[i]] for i in range(n)])
+        h_br_pts = [h_nat[rev[i]] for i in range(n)]
+        if self.use_wave:
+            # G1 queries: affine row tables for the Pallas wave MSM
+            self.a_g1 = encode_points_affine_rows(self.fq, pk.a_g1)
+            self.b_g1 = encode_points_affine_rows(self.fq, pk.b_g1)
+            self.l_g1 = encode_points_affine_rows(self.fq, pk.l_g1)
+            self.h_g1 = encode_points_affine_rows(self.fq, h_br_pts)
 
-        self.msm_w_g1 = MSMCtx(self.fq, self.m_pad)
+            def wave(size):
+                return (MSMWave(self.fq, size, c=12, v=8)
+                        if size >= (1 << 18) else MSMWave(self.fq, size))
+
+            self.msm_w_g1 = wave(m)
+            self.msm_aux = (self.msm_w_g1 if r1cs.num_aux == m
+                            else wave(r1cs.num_aux))
+            self.msm_h = self.msm_w_g1 if n == m else wave(n)
+        else:
+            from ...ops.curve import encode_points_g1
+
+            self.aux_pad = pad_msm_size(r1cs.num_aux)
+            pad_a = [None] * (self.aux_pad - r1cs.num_aux)
+            self.a_g1 = encode_points_g1(self.fq, pk.a_g1 + pad_w)
+            self.b_g1 = encode_points_g1(self.fq, pk.b_g1 + pad_w)
+            self.l_g1 = encode_points_g1(self.fq, pk.l_g1 + pad_a)
+            self.h_g1 = encode_points_g1(self.fq, h_br_pts)
+            self.msm_w_g1 = MSMCtx(self.fq, self.m_pad)
+            self.msm_aux = (self.msm_w_g1 if self.aux_pad == self.m_pad
+                            else MSMCtx(self.fq, self.aux_pad))
+            self.msm_h = (self.msm_w_g1 if n == self.m_pad
+                          else MSMCtx(self.fq, n))
+
+        self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
         self.msm_w_g2 = MSMCtx(self.qq, self.m_pad)
-        self.msm_aux = (
-            self.msm_w_g1 if self.aux_pad == self.m_pad
-            else MSMCtx(self.fq, self.aux_pad)
-        )
-        self.msm_h = (
-            self.msm_w_g1 if n == self.m_pad else MSMCtx(self.fq, n)
-        )
 
         # az/bz/cz sparse products (rows padded straight into the domain)
         self.spmv_a = SpMV(self.fr, r1cs.a_rows, r1cs.a_cols, r1cs.a_vals,
@@ -112,13 +131,25 @@ class DeviceProver:
     # ---- MSMs ---------------------------------------------------------------
     def msms(self, z, aux, h_br):
         """z, aux: host int lists (canonical); h_br: (N, K) canonical device
-        limbs. Returns device Jacobian points (a, b1, b2, l, h sums)."""
+        limbs. Returns (a, b1, l, h) as host affine points and b2 as a
+        device Jacobian G2 point."""
+        from ...ops.curve import decode_point_g1
+
         k = self.fq.k
-        z_sc = encode_scalars(z, self.m_pad, k)
-        aux_sc = encode_scalars(aux, self.aux_pad, k)
-        a = self.msm_w_g1.jit_msm(self.a_g1, z_sc)
-        b1 = self.msm_w_g1.jit_msm(self.b_g1, z_sc)
-        b2 = self.msm_w_g2.jit_msm(self.b_g2, z_sc)
-        l = self.msm_aux.jit_msm(self.l_g1, aux_sc)
-        h = self.msm_h.jit_msm(self.h_g1, h_br)
+        z_sc_pad = encode_scalars(z, self.m_pad, k)
+        b2 = self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
+        if self.use_wave:
+            m = self.params.r1cs.num_wires
+            z_sc = encode_scalars(z, m, k)
+            aux_sc = encode_scalars(aux, self.params.r1cs.num_aux, k)
+            a = self.msm_w_g1.msm(self.a_g1, z_sc)
+            b1 = self.msm_w_g1.msm(self.b_g1, z_sc)
+            l = self.msm_aux.msm(self.l_g1, aux_sc)
+            h = self.msm_h.msm(self.h_g1, h_br)
+        else:
+            aux_sc = encode_scalars(aux, self.aux_pad, k)
+            a = decode_point_g1(self.fq, self.msm_w_g1.jit_msm(self.a_g1, z_sc_pad))
+            b1 = decode_point_g1(self.fq, self.msm_w_g1.jit_msm(self.b_g1, z_sc_pad))
+            l = decode_point_g1(self.fq, self.msm_aux.jit_msm(self.l_g1, aux_sc))
+            h = decode_point_g1(self.fq, self.msm_h.jit_msm(self.h_g1, h_br))
         return a, b1, b2, l, h

@@ -138,7 +138,7 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     if device_msm:
         import jax.numpy as jnp
 
-        from ...ops.curve import decode_point_g1, decode_point_g2
+        from ...ops.curve import decode_point_g2
         from .device import DeviceProver
 
         dp = params.__dict__.setdefault("_device_prover", None)
@@ -147,11 +147,9 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
             params.__dict__["_device_prover"] = dp
         z_mont = jnp.asarray(dp.fr.encode(z))
         h_br = dp.h_scalars_br(z_mont)
-        a_d, b1_d, b2_d, l_d, h_d = dp.msms(z, aux, h_br)
-        a_msm = decode_point_g1(dp.fq, a_d)
-        b1_msm = decode_point_g1(dp.fq, b1_d)
+        a_msm, b1_msm, b2_d, l_pt, h_pt = dp.msms(z, aux, h_br)
         b2_msm = decode_point_g2(dp.qq, b2_d)
-        lh_msm = g_add(decode_point_g1(dp.fq, l_d), decode_point_g1(dp.fq, h_d))
+        lh_msm = g_add(l_pt, h_pt)
     else:
         h = compute_h_coeffs(params, az, bz, cz)
         a_msm = msm_host(pk.a_g1, z, p)

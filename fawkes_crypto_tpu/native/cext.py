@@ -135,6 +135,13 @@ def g2_mul(q, s: int):
     return _g2_parse(out)
 
 
+def g1_add_pts(p, q):
+    l = lib()
+    out = _out(64)
+    l.bn254_g1_add(_buf(_g1_bytes(p)), _buf(_g1_bytes(q)), out)
+    return _g1_parse(out)
+
+
 def g1_msm(points: List, scalars: List[int]):
     l = lib()
     n = len(points)

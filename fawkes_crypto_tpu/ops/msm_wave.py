@@ -1,0 +1,275 @@
+"""Wave-based Pippenger MSM on Pallas EC kernels (the fast G1 path).
+
+Replaces hot loop #4 of SURVEY.md §3.2 (the A/B/C MSMs inside bellman's
+create_random_proof, /root/reference/fawkes-crypto/src/backend/
+bellman_groth16/prover.rs:80) with a TPU-shaped schedule:
+
+  1. digit extraction (W windows x N points) and per-window argsort;
+  2. bucket-run boundaries via one flattened manual binary search;
+  3. WAVE accumulation with V-fold interleaving: every (window, digit)
+     gets V x R independent accumulator slots (R = replicas claiming the
+     bucket slots a window's digit range leaves unused — the top window
+     has only 254 mod c live bits, so its runs are up to 2^(c - r) times
+     longer and would otherwise dominate the wave count). Wave step s,
+     copy (q, v) consumes sorted-run position start + (q*V + v) + s*R*V.
+     Each step is ONE fused masked *mixed* Jacobian add (ops/pcurve.py
+     madd_masked) over all W*B*V lanes — 2^18 lanes at the defaults,
+     where the measured mont-mul hits its 633M/s peak on v5e.
+     Conflict-free by construction: no scatters, no segmented scans;
+  4. V-copy reduction (log2 V lane-rolled general adds), compaction;
+  5. digit weighting sum_d d*S_slot by static-bit masked double-and-add
+     (replica slots carry their digit's weight, so replicas just sum in);
+  6. in-window reduction over all B slots (log2 B lane-rolled adds);
+  7. final Horner over W window sums on the host (W tiny; C++ backend).
+
+The point table is row-major affine (N, 2K) — 128-byte rows [X|Y] with
+(0,0) encoding the identity (not on y^2 = x^3 + 3) — so wave gathers are
+contiguous row reads. Scalars are (N, K) canonical 16-bit limbs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff.jfield import FieldCtx
+from ..ff.limbs import LIMB_BITS
+from ..ff.pfield import PField
+from .pcurve import PCurve, decode_points_lf
+
+
+def encode_points_affine_rows(fctx: FieldCtx, pts) -> jnp.ndarray:
+    """Affine (x, y) int pairs (None = identity) -> (N, 2K) uint32
+    Montgomery rows [X limbs | Y limbs]; identity = all-zero row."""
+    k = fctx.k
+    xs, ys = [], []
+    for p in pts:
+        if p is None:
+            xs.append(0)
+            ys.append(0)
+        else:
+            xs.append(p[0])
+            ys.append(p[1])
+    out = np.zeros((len(pts), 2 * k), dtype=np.uint32)
+    out[:, 0:k] = fctx.encode(xs)
+    out[:, k:] = fctx.encode(ys)
+    # identity rows must be all-zero in *Montgomery* form too (0 -> 0)
+    for i, p in enumerate(pts):
+        if p is None:
+            out[i, :] = 0
+    return jnp.asarray(out)
+
+
+class MSMWave:
+    """Compiled wave MSM for one (field, N, c, V) configuration (G1)."""
+
+    def __init__(self, fctx: FieldCtx, n: int, c: int = 8, v: int = 32,
+                 scalar_bits: int = 254):
+        self.fctx = fctx
+        self.pf = PField.get(fctx.fld)
+        self.pc = PCurve.get(self.pf)
+        self.n = n
+        self.c = c
+        self.v = v
+        self.b = 1 << c
+        self.w = (scalar_bits + c - 1) // c
+        self.k = fctx.k
+        wbv = self.w * self.b * v
+        assert wbv % 1024 == 0, "W*B*V must tile (multiple of 1024)"
+        self.wbv = wbv
+        wb = self.w * self.b
+        assert wb % 128 == 0
+        self.wb = wb
+
+        # per-window live digit counts and replica factors
+        live_bits = [min(c, scalar_bits - w_ * c) for w_ in range(self.w)]
+        self.digit_counts = [1 << lb for lb in live_bits]
+        self.replicas = [self.b // dc for dc in self.digit_counts]
+
+        # static slot maps (W, B): slot b of window w -> digit, copy index
+        d_idx = np.zeros((self.w, self.b), dtype=np.int32)
+        q_idx = np.zeros((self.w, self.b), dtype=np.int32)
+        stride = np.zeros((self.w, 1, 1), dtype=np.int32)
+        for w_ in range(self.w):
+            dc, r = self.digit_counts[w_], self.replicas[w_]
+            d_idx[w_] = np.arange(self.b) % dc
+            q_idx[w_] = np.arange(self.b) // dc
+            stride[w_, 0, 0] = r * v
+        self.d_idx = jnp.asarray(d_idx)
+        self.q_off = jnp.asarray(q_idx[:, :, None] * v)  # (W, B, 1)
+        self.stride = jnp.asarray(stride)
+
+        # static masks. Wide phase lane = ((w*B + b)*V + v_copy)
+        v_pos = np.tile(np.arange(v), wb)
+        self.v_masks = jnp.asarray(np.stack([
+            (v_pos < (v >> (l + 1))).astype(np.uint32).reshape(-1, 128)
+            for l in range(int(np.log2(v)))
+        ])) if v > 1 else None
+        # compact phase lane = (w*B + b): weight = DIGIT of the slot
+        d_flat = d_idx.reshape(-1)
+        self.bit_masks = jnp.asarray(np.stack([
+            ((d_flat >> bit) & 1).astype(np.uint32).reshape(-1, 128)
+            for bit in range(c)
+        ]))
+        b_pos = np.tile(np.arange(self.b), self.w)
+        self.tree_masks = jnp.asarray(np.stack([
+            (b_pos < (self.b >> (l + 1))).astype(np.uint32).reshape(-1, 128)
+            for l in range(c)
+        ]))
+
+    # ---- digit extraction ----------------------------------------------------
+    def _digits(self, scalars: jnp.ndarray) -> jnp.ndarray:
+        k = scalars.shape[-1]
+        mask = jnp.uint32(self.b - 1)
+        outs = []
+        for w in range(self.w):
+            off = w * self.c
+            l0 = off // LIMB_BITS
+            sh = off % LIMB_BITS
+            d = scalars[:, l0] >> sh
+            if sh + self.c > LIMB_BITS and l0 + 1 < k:
+                d = d | (scalars[:, l0 + 1] << (LIMB_BITS - sh))
+            outs.append((d & mask).astype(jnp.int32))
+        return jnp.stack(outs, axis=0)
+
+    # ---- device pipeline -------------------------------------------------------
+    @functools.cached_property
+    def _window_sums(self):
+        n, w, b, c, k = self.n, self.w, self.b, self.c, self.k
+        v, wbv, wb = self.v, self.wbv, self.wb
+        pc = self.pc
+
+        def run(points_rows, scalars):
+            digits = self._digits(scalars)  # (W, N)
+            order = jnp.argsort(digits, axis=1).astype(jnp.int32)
+            sd = jnp.take_along_axis(digits, order, axis=1)
+            order_t = order.T  # (N, W): major-axis gathers below
+            # run boundaries: offset window w's digits by w*B so the
+            # flattened (W*N,) array is globally sorted; one lower-bound
+            # binary search answers all W*B starts and ends
+            woff = (jnp.arange(w, dtype=jnp.int32) * b)[:, None]
+            sd_flat = (sd + woff).reshape(-1)
+            queries = (woff + jnp.arange(b, dtype=jnp.int32)[None, :])
+            q_all = jnp.concatenate(
+                [queries.reshape(-1), queries.reshape(-1) + 1]
+            )
+
+            def lower_bound(q):
+                total = w * n
+                lo = jnp.zeros_like(q)
+                hi = jnp.full_like(q, total)
+
+                def step(_, lohi):
+                    lo_, hi_ = lohi
+                    live = lo_ < hi_
+                    mid = (lo_ + hi_) >> 1
+                    val = jnp.take(sd_flat, mid)
+                    right = live & (val < q)
+                    return (jnp.where(right, mid + 1, lo_),
+                            jnp.where(live & ~right, mid, hi_))
+
+                lo, hi = jax.lax.fori_loop(
+                    0, total.bit_length() + 1, step, (lo, hi)
+                )
+                return lo
+
+            bounds = lower_bound(q_all)
+            row_off = jnp.repeat(jnp.arange(w, dtype=jnp.int32) * n, b)
+            d_starts = (bounds[: w * b] - row_off).reshape(w, b)
+            d_ends = (bounds[w * b:] - row_off).reshape(w, b)
+            d_ends = d_ends.at[:, 0].set(d_starts[:, 0])  # weight-0 digit
+
+            # per-slot run windows via the static replica maps
+            s_starts = jnp.take_along_axis(d_starts, self.d_idx, axis=1)
+            s_ends = jnp.take_along_axis(d_ends, self.d_idx, axis=1)
+            slot_base = s_starts[:, :, None] + self.q_off  # (W, B, 1)
+            slot_end = s_ends[:, :, None]
+
+            state = jnp.zeros((3 * k, wbv // 128, 128), dtype=jnp.uint32)
+            voff = jnp.arange(v, dtype=jnp.int32)
+
+            def cond(carry):
+                wave, _ = carry
+                return jnp.any(slot_base + wave * self.stride + voff
+                               < slot_end)
+
+            def body(carry):
+                wave, st = carry
+                pos = slot_base + wave * self.stride + voff  # (W, B, V)
+                valid = (pos < slot_end).astype(jnp.uint32)
+                safe = jnp.minimum(jnp.maximum(pos, 0), n - 1)
+                idx = jnp.take_along_axis(
+                    order_t,
+                    safe.transpose(1, 2, 0).reshape(b * v, w),
+                    axis=0,
+                )  # (B*V, W)
+                idx = idx.reshape(b, v, w).transpose(2, 0, 1).reshape(-1)
+                pts = jnp.take(points_rows, idx, axis=0)  # (WBV, 2K) rows
+                pts = pts.T.reshape(2 * k, wbv // 128, 128)
+                st = pc.madd_affine_masked(st, pts, valid.reshape(-1, 128))
+                return wave + 1, st
+
+            _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+
+            # reduce the V copies: log2(V) lane-rolled general adds
+            flat = state.reshape(3 * k, wbv)
+            for l in range(int(np.log2(v)) if v > 1 else 0):
+                shift = v >> (l + 1)
+                other = jnp.roll(flat, -shift, axis=1)
+                flat = pc.add_masked(
+                    flat.reshape(3 * k, -1, 128),
+                    other.reshape(3 * k, -1, 128),
+                    self.v_masks[l],
+                ).reshape(3 * k, wbv)
+            # compact: keep v==0 lanes -> (3K, W*B)
+            comp = flat.reshape(3 * k, wb, v)[:, :, 0]
+
+            # weighted sum over slots: weight = slot digit
+            res = jnp.zeros_like(comp).reshape(3 * k, -1, 128)
+            cur = comp.reshape(3 * k, -1, 128)
+            for bit in range(c):
+                res = pc.add_masked(res, cur, self.bit_masks[bit])
+                if bit + 1 < c:
+                    cur = pc.dbl(cur)
+
+            # in-window reduction over B slots
+            flat = res.reshape(3 * k, wb)
+            for level in range(c):
+                shift = b >> (level + 1)
+                other = jnp.roll(flat, -shift, axis=1)
+                flat = pc.add_masked(
+                    flat.reshape(3 * k, -1, 128),
+                    other.reshape(3 * k, -1, 128),
+                    self.tree_masks[level],
+                ).reshape(3 * k, wb)
+
+            return flat[:, jnp.asarray([i * b for i in range(w)])]  # (3K, W)
+
+        return jax.jit(run)
+
+    # ---- public API ---------------------------------------------------------
+    def window_sums(self, points_rows, scalars):
+        return self._window_sums(points_rows, scalars)
+
+    def msm(self, points_rows: jnp.ndarray, scalars: jnp.ndarray):
+        """points_rows (N, 2K) affine; scalars (N, K) canonical 16-bit
+        limbs. Returns the affine (x, y) int pair (or None) on the host."""
+        tw = self._window_sums(points_rows, scalars)
+        window_pts = decode_points_lf(self.fctx, tw)
+        from ..native import cext
+        from ..native.bn_pairing import g_add, g_mul
+
+        use_c = cext.available()
+        acc = None
+        for wpt in reversed(window_pts):  # window w weight = 2^(c*w)
+            if acc is not None:
+                acc = (cext.g1_mul(acc, 1 << self.c) if use_c
+                       else g_mul(acc, 1 << self.c))
+            if wpt is not None:
+                acc = (cext.g1_add_pts(acc, wpt) if use_c
+                       else g_add(acc, wpt))
+        return acc
