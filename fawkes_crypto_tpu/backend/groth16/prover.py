@@ -98,6 +98,24 @@ def generate_witness(params: Parameters, input_pub, input_sec,
     return inputs, aux
 
 
+def generate_witness_fast(params: Parameters, input_pub, input_sec,
+                          circuit: Callable, alloc_pub: Callable,
+                          alloc_sec: Callable):
+    """Compiled witness-program path (backend/groth16/witness.py): 10-100x
+    faster than DSL replay; falls back to replay when the program is
+    unavailable (e.g. Parameters loaded from disk without hints)."""
+    if params.witness_ops:
+        from .witness import WitnessProgram
+
+        wp = params.__dict__.get("_witness_program")
+        if wp is None:
+            wp = WitnessProgram(params)
+            params.__dict__["_witness_program"] = wp
+        return wp.evaluate(input_pub, input_sec)
+    return generate_witness(params, input_pub, input_sec, circuit,
+                            alloc_pub, alloc_sec)
+
+
 def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
           alloc_pub: Callable, alloc_sec: Callable,
           seed: Optional[bytes] = None,
@@ -108,7 +126,7 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     False -> host oracle path; None -> device for large circuits.
     """
     p = Fr.p
-    inputs, aux = generate_witness(
+    inputs, aux = generate_witness_fast(
         params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
     )
     z = inputs + aux
