@@ -1,0 +1,27 @@
+"""fawkes-crypto-tpu: TPU-native Groth16 proving stack (see README.md)."""
+
+import os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: prover kernels take minutes to
+    compile (Mosaic + remote compiler); cache them across processes.
+    Respects an existing user setting."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "FAWKES_JAX_CACHE",
+                    os.path.expanduser("~/.cache/fawkes_jax"),
+                ),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

@@ -82,8 +82,19 @@ class DeviceProver:
             self.msm_h = (self.msm_w_g1 if n == self.m_pad
                           else MSMCtx(self.fq, n))
 
-        self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
-        self.msm_w_g2 = MSMCtx(self.qq, self.m_pad)
+        from ...native import cext
+
+        # G2 B-query: the C++ host Pippenger beats the XLA device MSM by
+        # ~17x until the Fq2 Pallas kernels land (ROADMAP.md item 1);
+        # keep the device path as fallback when the toolchain is absent.
+        self.g2_host = cext.available()
+        if self.g2_host:
+            self.b_g2_pts = list(pk.b_g2)
+            self.b_g2 = None
+            self.msm_w_g2 = None
+        else:
+            self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
+            self.msm_w_g2 = MSMCtx(self.qq, self.m_pad)
 
         # az/bz/cz sparse products (rows padded straight into the domain)
         self.spmv_a = SpMV(self.fr, r1cs.a_rows, r1cs.a_cols, r1cs.a_vals,
@@ -131,13 +142,18 @@ class DeviceProver:
     # ---- MSMs ---------------------------------------------------------------
     def msms(self, z, aux, h_br):
         """z, aux: host int lists (canonical); h_br: (N, K) canonical device
-        limbs. Returns (a, b1, l, h) as host affine points and b2 as a
-        device Jacobian G2 point."""
-        from ...ops.curve import decode_point_g1
+        limbs. Returns (a, b1, b2, l, h) as host affine points."""
+        from ...native import cext
+        from ...ops.curve import decode_point_g1, decode_point_g2
 
         k = self.fq.k
-        z_sc_pad = encode_scalars(z, self.m_pad, k)
-        b2 = self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
+        if self.g2_host:
+            b2 = cext.g2_msm(self.b_g2_pts, z)
+        else:
+            z_sc_pad = encode_scalars(z, self.m_pad, k)
+            b2 = decode_point_g2(
+                self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
+            )
         if self.use_wave:
             m = self.params.r1cs.num_wires
             z_sc = encode_scalars(z, m, k)

@@ -156,7 +156,6 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     if device_msm:
         import jax.numpy as jnp
 
-        from ...ops.curve import decode_point_g2
         from .device import DeviceProver
 
         dp = params.__dict__.setdefault("_device_prover", None)
@@ -165,8 +164,7 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
             params.__dict__["_device_prover"] = dp
         z_mont = jnp.asarray(dp.fr.encode(z))
         h_br = dp.h_scalars_br(z_mont)
-        a_msm, b1_msm, b2_d, l_pt, h_pt = dp.msms(z, aux, h_br)
-        b2_msm = decode_point_g2(dp.qq, b2_d)
+        a_msm, b1_msm, b2_msm, l_pt, h_pt = dp.msms(z, aux, h_br)
         lh_msm = g_add(l_pt, h_pt)
     else:
         h = compute_h_coeffs(params, az, bz, cz)
