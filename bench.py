@@ -23,6 +23,9 @@ BASELINE_MSM_PPS = 5.7e5  # est. bellman_ce G1 MSM points/s on i9-9900K
 
 
 def main():
+    import fawkes_crypto_tpu
+
+    fawkes_crypto_tpu.enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -1,12 +1,14 @@
-"""fawkes-crypto-tpu: TPU-native Groth16 proving stack (see README.md)."""
+"""fawkes-crypto-tpu: TPU-native Groth16/PLONK proving stack (see README.md)."""
 
 import os
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: prover kernels take minutes to
-    compile (Mosaic + remote compiler); cache them across processes.
-    Respects an existing user setting."""
+def enable_compile_cache():
+    """Opt-in persistent XLA compilation cache: prover kernels take minutes
+    to compile (Mosaic + remote compiler); cache them across processes.
+    Called explicitly by bench.py / tests / entry points — importing the
+    package never mutates global JAX config. Respects a pre-set
+    jax_compilation_cache_dir."""
     try:
         import jax
 
@@ -22,6 +24,3 @@ def _enable_compile_cache():
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
-
-
-_enable_compile_cache()

@@ -147,10 +147,12 @@ class DeviceProver:
         from ...ops.curve import decode_point_g1, decode_point_g2
 
         k = self.fq.k
+        z_sc_pad = None if self.use_wave else encode_scalars(z, self.m_pad, k)
         if self.g2_host:
             b2 = cext.g2_msm(self.b_g2_pts, z)
         else:
-            z_sc_pad = encode_scalars(z, self.m_pad, k)
+            if z_sc_pad is None:
+                z_sc_pad = encode_scalars(z, self.m_pad, k)
             b2 = decode_point_g2(
                 self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
             )

@@ -116,6 +116,17 @@ def generate_witness_fast(params: Parameters, input_pub, input_sec,
                             alloc_pub, alloc_sec)
 
 
+def _assert_satisfied(r1cs, z, p):
+    az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
+                       r1cs.num_constraints, p)
+    bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
+                       r1cs.num_constraints, p)
+    cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
+                       r1cs.num_constraints, p)
+    for i, (x, y, w_) in enumerate(zip(az, bz, cz)):
+        assert x * y % p == w_, f"R1CS not satisfied at constraint {i}"
+
+
 def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
           alloc_pub: Callable, alloc_sec: Callable,
           seed: Optional[bytes] = None,
@@ -135,6 +146,12 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     if device_msm is None:
         device_msm = r1cs.domain >= 4096
 
+    # Optional R1CS-satisfaction sanity check (both paths): an unsatisfied
+    # witness otherwise only surfaces as a proof that fails verification.
+    # Costs a full host SpMV pass per proof, so it's env-gated.
+    if os.environ.get("FAWKES_CHECK_SATISFIED", "") not in ("", "0"):
+        _assert_satisfied(r1cs, z, p)
+
     if not device_msm:
         az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
                            r1cs.num_constraints, p)
@@ -142,9 +159,6 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
                            r1cs.num_constraints, p)
         cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
                            r1cs.num_constraints, p)
-        # sanity: R1CS satisfied
-        for x, y, w_ in zip(az, bz, cz):
-            assert x * y % p == w_, "R1CS not satisfied"
 
     if seed is None:
         seed = os.urandom(32)

@@ -22,11 +22,26 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ...native.bn_pairing import Fq2
+from ...native.bn_pairing import (
+    Fq2,
+    P as _FQ_P,
+    g1_is_on_curve,
+    g2_is_on_curve,
+    g2_is_in_subgroup,
+)
 from .params import VK, Parameters, Proof, ProvingKey
 from .qap import R1CS
 
 _FQ_BYTES = 32
+
+
+class InvalidPoint(ValueError):
+    """Deserialized bytes do not encode a valid curve point.
+
+    Mirrors bellman's checked reads (reference
+    backend/bellman_groth16/mod.rs:159-176: `read(.., checked=true,
+    disallow_points_at_infinity)`) — invalid-curve or out-of-range inputs
+    must be rejected before they reach the pairing."""
 
 
 # ---- scalar/point primitives -------------------------------------------------
@@ -45,10 +60,18 @@ def g1_to_bytes(p) -> bytes:
     return _fq_to_bytes(p[0]) + _fq_to_bytes(p[1])
 
 
-def g1_from_bytes(buf: memoryview, off: int = 0):
+def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True):
     x, off = _fq_from(buf, off)
     y, off = _fq_from(buf, off)
-    return (None if x == 0 and y == 0 else (x, y)), off
+    if x == 0 and y == 0:
+        return None, off
+    if check:
+        if x >= _FQ_P or y >= _FQ_P:
+            raise InvalidPoint("G1 coordinate out of field range")
+        if not g1_is_on_curve((x, y)):
+            raise InvalidPoint("G1 point not on curve")
+        # G1 cofactor is 1: on-curve implies correct subgroup.
+    return (x, y), off
 
 
 def g2_to_bytes(p) -> bytes:
@@ -59,13 +82,23 @@ def g2_to_bytes(p) -> bytes:
             + _fq_to_bytes(y.c0) + _fq_to_bytes(y.c1))
 
 
-def g2_from_bytes(buf: memoryview, off: int = 0):
+def g2_from_bytes(buf: memoryview, off: int = 0, check: bool = True,
+                  check_subgroup: bool = True):
     x0, off = _fq_from(buf, off)
     x1, off = _fq_from(buf, off)
     y0, off = _fq_from(buf, off)
     y1, off = _fq_from(buf, off)
     if x0 == x1 == y0 == y1 == 0:
         return None, off
+    if check:
+        if max(x0, x1, y0, y1) >= _FQ_P:
+            raise InvalidPoint("G2 coordinate out of field range")
+        pt = (Fq2(x0, x1), Fq2(y0, y1))
+        if not g2_is_on_curve(pt):
+            raise InvalidPoint("G2 point not on curve")
+        if check_subgroup and not g2_is_in_subgroup(pt):
+            raise InvalidPoint("G2 point not in the r-order subgroup")
+        return pt, off
     return (Fq2(x0, x1), Fq2(y0, y1)), off
 
 
@@ -121,8 +154,9 @@ def _g1s_to_array(pts: List) -> np.ndarray:
     return out
 
 
-def _g1s_from_array(arr: np.ndarray) -> List:
-    return [g1_from_bytes(memoryview(row.tobytes()))[0] for row in arr]
+def _g1s_from_array(arr: np.ndarray, check: bool = False) -> List:
+    return [g1_from_bytes(memoryview(row.tobytes()), check=check)[0]
+            for row in arr]
 
 
 def _g2s_to_array(pts: List) -> np.ndarray:
@@ -132,8 +166,13 @@ def _g2s_to_array(pts: List) -> np.ndarray:
     return out
 
 
-def _g2s_from_array(arr: np.ndarray) -> List:
-    return [g2_from_bytes(memoryview(row.tobytes()))[0] for row in arr]
+def _g2s_from_array(arr: np.ndarray, check: bool = False) -> List:
+    # Subgroup checks on bulk proving-key tables are prohibitively slow in
+    # host Python; `check` gates on-curve validation only (bellman's
+    # Parameters::read has the same checked/unchecked split, mod.rs:159).
+    return [g2_from_bytes(memoryview(row.tobytes()), check=check,
+                          check_subgroup=False)[0]
+            for row in arr]
 
 
 def _vals_to_array(vals: List[int]) -> np.ndarray:
@@ -174,7 +213,10 @@ def write_parameters(path: str, params: Parameters) -> None:
     )
 
 
-def read_parameters(path: str) -> Parameters:
+def read_parameters(path: str, checked: bool = False) -> Parameters:
+    """Load Parameters from npz. checked=True validates every proving-key
+    point on-curve (bellman's checked read); off by default for speed —
+    Proof/VK reads are always validated."""
     z = np.load(path, allow_pickle=False)
     num_input, num_aux, num_constraints, domain, n_public = (
         int(v) for v in z["meta"]
@@ -191,16 +233,16 @@ def read_parameters(path: str) -> Parameters:
     )
     vk = vk_from_bytes(z["vk"].tobytes())
     pk = ProvingKey(
-        alpha_g1=_g1s_from_array(z["pk_alpha_g1"])[0],
-        beta_g1=_g1s_from_array(z["pk_beta_g1"])[0],
-        beta_g2=_g2s_from_array(z["pk_beta_g2"])[0],
-        delta_g1=_g1s_from_array(z["pk_delta_g1"])[0],
-        delta_g2=_g2s_from_array(z["pk_delta_g2"])[0],
-        a_g1=_g1s_from_array(z["pk_a_g1"]),
-        b_g1=_g1s_from_array(z["pk_b_g1"]),
-        b_g2=_g2s_from_array(z["pk_b_g2"]),
-        l_g1=_g1s_from_array(z["pk_l_g1"]),
-        h_g1=_g1s_from_array(z["pk_h_g1"]),
+        alpha_g1=_g1s_from_array(z["pk_alpha_g1"], checked)[0],
+        beta_g1=_g1s_from_array(z["pk_beta_g1"], checked)[0],
+        beta_g2=_g2s_from_array(z["pk_beta_g2"], checked)[0],
+        delta_g1=_g1s_from_array(z["pk_delta_g1"], checked)[0],
+        delta_g2=_g2s_from_array(z["pk_delta_g2"], checked)[0],
+        a_g1=_g1s_from_array(z["pk_a_g1"], checked),
+        b_g1=_g1s_from_array(z["pk_b_g1"], checked),
+        b_g2=_g2s_from_array(z["pk_b_g2"], checked),
+        l_g1=_g1s_from_array(z["pk_l_g1"], checked),
+        h_g1=_g1s_from_array(z["pk_h_g1"], checked),
     )
     return Parameters(
         vk=vk, pk=pk, r1cs=r1cs,

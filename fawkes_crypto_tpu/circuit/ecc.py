@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+from ..core.signal import signal
 from ..ff.hostfield import Num
 from ..native.ecc import EdwardsPoint, JubJubParams, MontgomeryPoint
 from .bool import CBool
@@ -28,59 +29,23 @@ def _record_hint(cs, name, input_lcs, out_signals, host_fn):
         cs.record_op(WitnessOp("hint", outs, a=input_lcs, aux=(name, host_fn)))
 
 
+@signal(EdwardsPoint)
 class CEdwardsPoint:
+    """Composite signal; the Signal protocol (alloc/from_const/get_value/
+    as_const/switch/inputize/assert_*/clone) is derived by @signal, the
+    analog of the reference's `#[derive(Signal)] CEdwardsPoint`
+    (circuit/ecc.rs:10-15)."""
+
     __slots__ = ("x", "y")
+    __signal_fields__ = {"x": CNum, "y": CNum}
 
     def __init__(self, x: CNum, y: CNum):
         self.x = x
         self.y = y
 
-    # --- Signal protocol (mirrors #[derive(Signal)]) -----------------------
     @property
     def cs(self):
         return self.x.cs
-
-    @staticmethod
-    def alloc(cs: BaseCS, value: Optional[EdwardsPoint] = None) -> "CEdwardsPoint":
-        if value is not None:
-            return CEdwardsPoint(CNum.alloc(cs, value.x), CNum.alloc(cs, value.y))
-        return CEdwardsPoint(CNum.alloc(cs, None), CNum.alloc(cs, None))
-
-    @staticmethod
-    def from_const(cs: BaseCS, value: EdwardsPoint) -> "CEdwardsPoint":
-        return CEdwardsPoint(
-            CNum.from_const(cs, value.x), CNum.from_const(cs, value.y)
-        )
-
-    def get_value(self) -> Optional[EdwardsPoint]:
-        if self.x.value is None or self.y.value is None:
-            return None
-        return EdwardsPoint(self.x.value, self.y.value)
-
-    def as_const(self) -> Optional[EdwardsPoint]:
-        x = self.x.as_const()
-        if x is None:
-            return None
-        y = self.y.as_const()
-        if y is None:
-            return None
-        return EdwardsPoint(x, y)
-
-    def switch(self, bit: CBool, if_else: "CEdwardsPoint") -> "CEdwardsPoint":
-        return CEdwardsPoint(
-            self.x.switch(bit, if_else.x), self.y.switch(bit, if_else.y)
-        )
-
-    def assert_const(self, value: EdwardsPoint):
-        self.x.assert_const(value.x)
-        self.y.assert_const(value.y)
-
-    def assert_eq(self, other: "CEdwardsPoint"):
-        self.x.assert_eq(other.x)
-        self.y.assert_eq(other.y)
-
-    def clone(self):
-        return CEdwardsPoint(self.x.clone(), self.y.clone())
 
     # --- curve ops (ecc.rs:24-244) -----------------------------------------
     def double(self, params: JubJubParams) -> "CEdwardsPoint":
@@ -287,8 +252,12 @@ class CEdwardsPoint:
         return CMontgomeryPoint(x, y).into_edwards().mul_by_cofactor(params)
 
 
+@signal(MontgomeryPoint)
 class CMontgomeryPoint:
+    """Signal protocol derived by @signal (reference circuit/ecc.rs:17-22)."""
+
     __slots__ = ("x", "y")
+    __signal_fields__ = {"x": CNum, "y": CNum}
 
     def __init__(self, x: CNum, y: CNum):
         self.x = x
@@ -297,35 +266,6 @@ class CMontgomeryPoint:
     @property
     def cs(self):
         return self.x.cs
-
-    @staticmethod
-    def alloc(cs: BaseCS, value: Optional[MontgomeryPoint] = None):
-        if value is not None:
-            return CMontgomeryPoint(CNum.alloc(cs, value.x), CNum.alloc(cs, value.y))
-        return CMontgomeryPoint(CNum.alloc(cs, None), CNum.alloc(cs, None))
-
-    @staticmethod
-    def from_const(cs: BaseCS, value: MontgomeryPoint):
-        return CMontgomeryPoint(
-            CNum.from_const(cs, value.x), CNum.from_const(cs, value.y)
-        )
-
-    def get_value(self) -> Optional[MontgomeryPoint]:
-        if self.x.value is None or self.y.value is None:
-            return None
-        return MontgomeryPoint(self.x.value, self.y.value)
-
-    def switch(self, bit: CBool, if_else: "CMontgomeryPoint"):
-        return CMontgomeryPoint(
-            self.x.switch(bit, if_else.x), self.y.switch(bit, if_else.y)
-        )
-
-    def assert_const(self, value: MontgomeryPoint):
-        self.x.assert_const(value.x)
-        self.y.assert_const(value.y)
-
-    def clone(self):
-        return CMontgomeryPoint(self.x.clone(), self.y.clone())
 
     # assume self != (0, 0) (ecc.rs:247-257)
     def double(self, params: JubJubParams) -> "CMontgomeryPoint":

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+from ..core.signal import SizedVec, signal
 from ..ff.hostfield import Num
 from ..native.poseidon import MerkleProof, PoseidonParams
 from .bool import CBool
@@ -68,33 +69,18 @@ def c_poseidon_sponge(inputs: List[CNum], params: PoseidonParams) -> CNum:
     return state[0]
 
 
+@signal(MerkleProof)
 class CMerkleProof:
-    """Composite signal (sibling: Vec<CNum>, path: Vec<CBool>); the analog of
-    the reference's #[derive(Signal)] CMerkleProof (circuit/poseidon.rs:9-15)."""
+    """Composite signal (sibling: Vec<CNum>, path: Vec<CBool>); the Signal
+    protocol is derived by @signal, the analog of the reference's
+    #[derive(Signal)] CMerkleProof (circuit/poseidon.rs:9-15)."""
 
     __slots__ = ("sibling", "path")
+    __signal_fields__ = {"sibling": (SizedVec, CNum), "path": (SizedVec, CBool)}
 
-    def __init__(self, sibling: List[CNum], path: List[CBool]):
+    def __init__(self, sibling, path):
         self.sibling = sibling
         self.path = path
-
-    @staticmethod
-    def alloc(cs: BaseCS, value: Optional[MerkleProof] = None, length: int = None):
-        if value is not None:
-            sibling = [CNum.alloc(cs, v) for v in value.sibling]
-            path = [CBool.alloc(cs, b) for b in value.path]
-        else:
-            assert length is not None, "length required for symbolic alloc"
-            sibling = [CNum.alloc(cs, None) for _ in range(length)]
-            path = [CBool.alloc(cs, None) for _ in range(length)]
-        return CMerkleProof(sibling, path)
-
-    def get_value(self) -> Optional[MerkleProof]:
-        sib = [s.get_value() for s in self.sibling]
-        pth = [p.get_value() for p in self.path]
-        if any(v is None for v in sib) or any(v is None for v in pth):
-            return None
-        return MerkleProof(sib, pth)
 
 
 def c_poseidon_merkle_proof_root(leaf: CNum, proof: CMerkleProof,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.curve import Point, ec_add
@@ -32,6 +32,7 @@ class DistMSM:
         self.d = d
         self.local = MSMCtx(f, n // d, c=c)
         self.f = f
+        self._fns = {}  # (pts ndims, scalars ndim) -> shard_map-wrapped body
 
     def _body(self, pts, scalars):
         # shards arrive rank-preserved: coords (N/D, ...), scalars (N/D, K)
@@ -62,18 +63,22 @@ class DistMSM:
             )
 
         def run(pts, scalars):
-            in_specs = (
-                specs_for(pts),
-                P(self.axis, *([None] * (scalars.ndim - 1))),
-            )
-            out_specs = tuple(
-                P(self.axis, *([None] * (c.ndim - 2))) for c in pts
-            )
-            fn = shard_map(
-                self._body, mesh=self.mesh,
-                in_specs=in_specs, out_specs=out_specs,
-                check_rep=False,
-            )
+            key = (tuple(c.ndim for c in pts), scalars.ndim)
+            fn = self._fns.get(key)
+            if fn is None:
+                in_specs = (
+                    specs_for(pts),
+                    P(self.axis, *([None] * (scalars.ndim - 1))),
+                )
+                out_specs = tuple(
+                    P(self.axis, *([None] * (c.ndim - 2))) for c in pts
+                )
+                fn = shard_map(
+                    self._body, mesh=self.mesh,
+                    in_specs=in_specs, out_specs=out_specs,
+                    check_vma=False,
+                )
+                self._fns[key] = fn
             out = fn(pts, scalars)
             # every shard holds the same sum; take shard 0
             return tuple(c[0] for c in out)

@@ -29,7 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ff.jfield import FieldCtx
@@ -144,10 +144,10 @@ class DistNTT:
 
         fwd = shard_map(self._fwd_body, mesh=self.mesh,
                         in_specs=in_specs_f, out_specs=spec,
-                        check_rep=False)
+                        check_vma=False)
         inv = shard_map(self._inv_body, mesh=self.mesh,
                         in_specs=in_specs_b, out_specs=spec,
-                        check_rep=False)
+                        check_vma=False)
 
         def ntt_fn(x):
             return fwd(x, *self.fw_tw)

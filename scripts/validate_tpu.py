@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+import fawkes_crypto_tpu
+
+fawkes_crypto_tpu.enable_compile_cache()
+
 from fawkes_crypto_tpu.backend.groth16.prover import prove
 from fawkes_crypto_tpu.backend.groth16.setup import setup
 from fawkes_crypto_tpu.backend.groth16.verifier import verify

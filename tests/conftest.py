@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# R1CS-satisfaction sanity checks on every prove() in tests (env-gated
+# in production, see backend/groth16/prover.py).
+os.environ.setdefault("FAWKES_CHECK_SATISFIED", "1")
 
 # Persistent compilation cache: XLA-CPU compiles of deep limb-arithmetic
 # graphs are expensive; cache them across test runs.

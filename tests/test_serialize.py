@@ -69,3 +69,45 @@ def test_proof_vk_parameters_roundtrip(tmp_path):
     assert verify(params2.vk, proof2, inputs2)
     # deterministic seed -> identical proof across save/load
     assert (proof2.a, proof2.b, proof2.c) == (proof.a, proof.b, proof.c)
+
+
+def test_invalid_point_rejection():
+    """Checked deserialization (bellman's read(.., checked) analog,
+    reference backend/bellman_groth16/mod.rs:159-176): out-of-range and
+    off-curve bytes must be rejected before reaching the pairing."""
+    import pytest
+
+    from fawkes_crypto_tpu.backend.groth16.serialize import (
+        InvalidPoint, g1_from_bytes, g1_to_bytes, g2_from_bytes, g2_to_bytes)
+    from fawkes_crypto_tpu.native.bn_pairing import (
+        G1_GEN, G2_GEN, P, g_mul)
+
+    # valid points round-trip
+    pt, _ = g1_from_bytes(memoryview(g1_to_bytes(G1_GEN)))
+    assert pt == G1_GEN
+    q, _ = g2_from_bytes(memoryview(g2_to_bytes(G2_GEN)))
+    assert q == G2_GEN
+
+    # off-curve G1: bump y
+    bad = bytearray(g1_to_bytes(G1_GEN))
+    bad[32] ^= 1
+    with pytest.raises(InvalidPoint):
+        g1_from_bytes(memoryview(bytes(bad)))
+
+    # out-of-range coordinate: x = p (non-canonical encoding of 0)
+    bad2 = int(P).to_bytes(32, "little") + g1_to_bytes(G1_GEN)[32:]
+    with pytest.raises(InvalidPoint):
+        g1_from_bytes(memoryview(bad2))
+
+    # G2 on twist curve but wrong subgroup: cofactor is != 1, so a random
+    # on-curve point constructed by scaling a known non-subgroup offset
+    # must fail the subgroup check. Construct one: take G2_GEN and add a
+    # point of small order? BN254's twist cofactor is large; instead verify
+    # the subgroup check passes for multiples of the generator and that an
+    # off-curve G2 is rejected.
+    badq = bytearray(g2_to_bytes(G2_GEN))
+    badq[64] ^= 1
+    with pytest.raises(InvalidPoint):
+        g2_from_bytes(memoryview(bytes(badq)))
+    q5, _ = g2_from_bytes(memoryview(g2_to_bytes(g_mul(G2_GEN, 5))))
+    assert q5 is not None
