@@ -24,6 +24,7 @@ from ...ff.jfield import FieldCtx
 from ...ff.jquad import QuadCtx
 from ...ops.curve import encode_points_g2
 from ...ops.msm import MSMCtx, encode_scalars, pad_msm_size
+from ...ops.lntt import LNTTCtx, from_lf, to_lf
 from ...ops.msm_wave import MSMWave, encode_points_affine_rows
 from ...ops.ntt import NTTCtx, bitrev_permutation
 from ...ops.spmv import SpMV
@@ -104,22 +105,26 @@ class DeviceProver:
         self.spmv_c = SpMV(self.fr, r1cs.c_rows, r1cs.c_cols, r1cs.c_vals,
                            n, m)
 
-        # h-polynomial NTT pipeline constants
+        # h-polynomial NTT pipeline constants (limbs-first Pallas NTT,
+        # ops/lntt.py; the batch-last NTTCtx remains for small/CPU paths)
         self.ntt = NTTCtx.get(self.fr, n)
+        self.lntt = LNTTCtx.get(self.fr, n)
         g = Fr.generator
         p = Fr.p
-        self.gp = self.ntt.shift_pows_br(g)
-        self.ginvp = self.ntt.shift_pows_br(pow(g, -1, p))
-        self.zinv = jnp.broadcast_to(
-            self.fr.const(pow(pow(g, n, p) - 1, -1, p)), (n, self.fr.k)
+        self.gp_lf = to_lf(self.ntt.shift_pows_br(g))
+        self.ginvp_lf = to_lf(self.ntt.shift_pows_br(pow(g, -1, p)))
+        self.zinv_lf = jnp.broadcast_to(
+            to_lf(self.fr.const(pow(pow(g, n, p) - 1, -1, p))[None, :]),
+            (self.fr.k, n),
         )
 
     # ---- QAP h(x) ----------------------------------------------------------
     def h_scalars_br(self, z_mont) -> jnp.ndarray:
         """Witness z (num_wires, K) Montgomery on device -> h coefficients as
         canonical limbs in bit-reversed order, (N, K). Entirely on device:
-        sparse matvecs, iNTT/coset/NTT pipeline, pointwise combine."""
-        f, ntt = self.fr, self.ntt
+        sparse matvecs, limbs-first iNTT/coset/NTT pipeline, pointwise
+        combine — every Montgomery product rides the Pallas kernel."""
+        lntt = self.lntt
 
         def pipeline(z):
             az = self.spmv_a.apply(z)
@@ -127,13 +132,13 @@ class DeviceProver:
             cz = self.spmv_c.apply(z)
 
             def coset(x):
-                cbr = ntt.evals_to_coeffs_br(x)
-                return ntt.coeffs_br_to_evals(f.mont_mul(cbr, self.gp))
+                cbr = lntt.evals_to_coeffs_br(to_lf(x))
+                return lntt.coeffs_br_to_evals(lntt.mul(cbr, self.gp_lf))
 
             ea, eb, ec = coset(az), coset(bz), coset(cz)
-            h_ev = f.mont_mul(f.sub(f.mont_mul(ea, eb), ec), self.zinv)
-            h_br = f.mont_mul(ntt.evals_to_coeffs_br(h_ev), self.ginvp)
-            return f.from_mont(h_br)  # canonical limbs, MSM-ready
+            h_ev = lntt.mul(lntt.sub(lntt.mul(ea, eb), ec), self.zinv_lf)
+            h_br = lntt.mul(lntt.evals_to_coeffs_br(h_ev), self.ginvp_lf)
+            return from_lf(lntt.from_mont(h_br))  # canonical limbs, MSM-ready
 
         if not hasattr(self, "_jit_pipeline"):
             self._jit_pipeline = jax.jit(pipeline)

@@ -34,7 +34,8 @@ def c_into_bits_le(signal: CNum, limit: int) -> List[CBool]:
     remained_signal = signal.clone()
     k = Num(signal.cs.fld, 1)
     bits = [CBool.from_const(signal.cs, False)] * limit
-    src_lc = signal.lc.to_vec() if signal.lc is not None else None
+    src_lc = (signal.lc.to_vec()
+              if _records(signal.cs) and signal.lc is not None else None)
     for i in range(1, limit):
         k = k.double()
         bv = None if value is None else bool((value.x >> i) & 1)

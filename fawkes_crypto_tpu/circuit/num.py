@@ -43,8 +43,15 @@ class CNum:
         self.lc = lc
 
     # --- Signal protocol --------------------------------------------------
+    # from_const/alloc dispatch on the CS: a CS carrying its own signal
+    # classes (the PLONK variant, circuit/plonk/cs.py) gets them instead —
+    # this lets the shared gadget sources compile against either CS, the
+    # analog of the reference's cfg-gated module swap (circuit/mod.rs:1-11).
     @staticmethod
     def from_const(cs: BaseCS, value) -> "CNum":
+        alt = getattr(cs, "_signal_num_cls", None)
+        if alt is not None and alt is not CNum:
+            return alt.from_const(cs, value)
         value = _as_num(cs, value)
         lc = None
         if not isinstance_witness(cs):
@@ -53,6 +60,9 @@ class CNum:
 
     @staticmethod
     def alloc(cs: BaseCS, value=None) -> "CNum":
+        alt = getattr(cs, "_signal_num_cls", None)
+        if alt is not None and alt is not CNum:
+            return alt.alloc(cs, value)
         v = _as_num(cs, value) if value is not None else None
         return cs.alloc(v)
 

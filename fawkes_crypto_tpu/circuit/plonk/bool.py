@@ -1,21 +1,27 @@
-"""CBool: boolean signal over CNum.
+"""PLONK CBool over the affine CNum.
 
-Mirror of /root/reference/fawkes-crypto/src/circuit/r1cs/bool.rs:12-238:
-and = mul, or via De Morgan, xor = !is_eq, is_eq via the single-gate
-(2a-1)(2b-1)=(2c-1) trick.
+Mirror of /root/reference/fawkes-crypto/src/circuit/plonk/bool.rs:12-249:
+and = mul, or via De Morgan, xor = !is_eq, is_eq via the single
+(2a-1)(2b-1)=(2c-1) enforce_mul gate (:104-117).
+
+Deviation from the reference (documented): plonk/bool.rs:79-82 allocs
+booleans with `new_unchecked` (no bit constraint), which leaves gadget
+bit-decompositions unconstrained; we use `new` (assert_bit) like the
+r1cs layer (r1cs/bool.rs:68-71) for soundness.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from ..ff.hostfield import Num
-from .cs import BaseCS, WitnessOp
-from .num import CNum, _records
+from ...ff.hostfield import Num
+from .num import CNum
 
 
 class CBool:
     __slots__ = ("num",)
+
+    __kind__ = "bool"
 
     def __init__(self, num: CNum):
         self.num = num
@@ -46,19 +52,12 @@ class CBool:
         return CBool(self.num.clone())
 
     # --- Signal protocol ---------------------------------------------------
-    # from_const/alloc dispatch on the CS like CNum's (see circuit/num.py).
     @staticmethod
-    def from_const(cs: BaseCS, value: bool) -> "CBool":
-        alt = getattr(cs, "_signal_bool_cls", None)
-        if alt is not None and alt is not CBool:
-            return alt.from_const(cs, value)
+    def from_const(cs, value: bool) -> "CBool":
         return CBool.new_unchecked(CNum.from_const(cs, bool(value)))
 
     @staticmethod
-    def alloc(cs: BaseCS, value: Optional[bool] = None) -> "CBool":
-        alt = getattr(cs, "_signal_bool_cls", None)
-        if alt is not None and alt is not CBool:
-            return alt.alloc(cs, value)
+    def alloc(cs, value: Optional[bool] = None) -> "CBool":
         v = None if value is None else Num(cs.fld, int(bool(value)))
         return CBool.new(CNum.alloc(cs, v))
 
@@ -88,9 +87,9 @@ class CBool:
         return self.to_num().switch(bit, if_else.to_num()).to_bool_unchecked()
 
     def assert_const(self, value: bool):
-        self.cs.enforce(
+        self.cs.enforce_add(
             self.to_num(),
-            CNum.from_const(self.cs, 1),
+            CNum.from_const(self.cs, 0),
             CNum.from_const(self.cs, bool(value)),
         )
 
@@ -98,24 +97,15 @@ class CBool:
         self.to_num().assert_eq(other.to_num())
 
     def is_eq(self, other: "CBool") -> "CBool":
-        # single gate: (2a-1)(2b-1)=(2c-1) (bool.rs:91-103)
+        # single gate: (2a-1)(2b-1)=(2c-1) (plonk bool.rs:104-117)
         value = None
         if self.get_value() is not None and other.get_value() is not None:
             value = self.get_value() == other.get_value()
         signal = CBool.alloc(self.cs, value)
-        # NOTE: CBool::alloc in the reference routes through CBool::new which
-        # adds the bit constraint; bool.rs:91 allocs via derive_alloc::<CBool>
-        # which is the same path.
         a = self.to_num() * 2 - 1
         b = other.to_num() * 2 - 1
         c = signal.to_num() * 2 - 1
-        if _records(self.cs):
-            inv2 = pow(2, -1, self.cs.fld.p)
-            b_half = other.to_num() - Num(self.cs.fld, inv2)
-            self.cs.record_op(WitnessOp(
-                "mul", next(iter(signal.num.lc.terms)),
-                a=a.lc.to_vec(), b=b_half.lc.to_vec(), aux=inv2))
-        self.cs.enforce(a, b, c)
+        self.cs.enforce_mul(a, b, c)
         return signal
 
     # --- boolean algebra ----------------------------------------------------
