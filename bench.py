@@ -1,20 +1,26 @@
 """Headline benchmark: BN254 G1 Pippenger MSM throughput on one TPU chip
-(the primary metric named in BASELINE.json) using the Pallas wave MSM.
+at 2^25 DISTINCT points — the primary metric of BASELINE.json/BASELINE.md
+— using the Pallas wave MSM with chunked (streamed-CRS) scheduling.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline is computed against the reference stack's CPU prover: the
-ZeroPool rollup (35,695,616 constraints) proves in 628 s on an i9-9900K
+The point table is 2^25 genuinely distinct affine points generated on
+device (ops/tablegen.py: pairwise sums of two disjoint generator chains
++ batched Fermat inversion); scalars are uniform 254-bit. vs_baseline is
+computed against the reference stack's CPU prover: the ZeroPool rollup
+(35,695,616 constraints) proves in 628 s on an i9-9900K
 (/root/reference/README.md:54-56) via bellman_ce, whose MSM stage handles
 ~6x 2^25 G1-equivalent points in roughly 60% of that wall-clock =>
-~5.7e5 points/s/CPU. Beating that number per chip is the parity bar;
-BASELINE.md's north star is the full rollup in <60 s on a v5p-16.
+~5.7e5 points/s/CPU. BASELINE.md's north star is the full rollup in
+<60 s on a v5p-16.
+
+Env knobs: FAWKES_BENCH_LOGN (default 25), FAWKES_BENCH_CHUNK_LOG (22).
 """
 
 from __future__ import annotations
 
 import json
-import random
+import os
 import time
 
 import numpy as np
@@ -26,53 +32,50 @@ def main():
     import fawkes_crypto_tpu
 
     fawkes_crypto_tpu.enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
 
-    from fawkes_crypto_tpu.engines.bn256 import Fq, Fr
+    from fawkes_crypto_tpu.engines.bn256 import Fq
     from fawkes_crypto_tpu.ff.jfield import FieldCtx
-    from fawkes_crypto_tpu.native.bn_pairing import G1_GEN, g_add, g_double
-    from fawkes_crypto_tpu.ops.msm import encode_scalars
-    from fawkes_crypto_tpu.ops.msm_wave import (
-        MSMWave,
-        encode_points_affine_rows,
+    from fawkes_crypto_tpu.ops.msm_wave import MSMWave
+    from fawkes_crypto_tpu.ops.tablegen import (
+        gen_distinct_rows,
+        random_scalar_limbs,
     )
 
     fctx = FieldCtx.get(Fq)
-    logn = 18
+    logn = int(os.environ.get("FAWKES_BENCH_LOGN", "25"))
+    chunk_log = min(int(os.environ.get("FAWKES_BENCH_CHUNK_LOG", "22")),
+                    logn)
     n = 1 << logn
+    chunk = 1 << chunk_log
 
-    # pseudo-random distinct points: doublings of the generator, cycled
-    base = []
-    p = G1_GEN
-    for _ in range(256):
-        base.append(p)
-        p = g_double(g_add(p, G1_GEN))
-    pts = [base[i % 256] for i in range(n)]
-
-    random.seed(42)
-    scalars = [random.randrange(Fr.p) for _ in range(n)]
-
-    dev_pts = encode_points_affine_rows(fctx, pts)
-    dev_sc = encode_scalars(scalars, n, fctx.k)
-    ctx = MSMWave(fctx, n, c=12, v=8)
-
-    # compile + warmup (transfer forces completion; axon dispatch is async)
-    out = np.asarray(ctx._window_sums(dev_pts, dev_sc))
-
-    iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = np.asarray(ctx._window_sums(dev_pts, dev_sc))
-    dt = (time.perf_counter() - t0) / iters
+    table = gen_distinct_rows(fctx, n, chunk=chunk)
+    table.block_until_ready()
+    t_gen = time.perf_counter() - t0
+    scalars = random_scalar_limbs(n, fctx.k, seed=42)
+
+    ctx = MSMWave(fctx, chunk, c=12, v=8)
+
+    # compile + warm (first chunk compiles the whole pipeline)
+    ctx.msm_chunked(table[:chunk], scalars[:chunk])
+
+    t0 = time.perf_counter()
+    res = ctx.msm_chunked(table, scalars)
+    dt = time.perf_counter() - t0
+    assert res is not None
 
     value = n / dt
     print(json.dumps({
-        "metric": f"msm_g1_points_per_sec_2e{logn}",
+        "metric": f"msm_g1_points_per_sec_2e{logn}_distinct",
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / BASELINE_MSM_PPS, 3),
     }))
+    # diagnostics on stderr-adjacent line? keep stdout to the one line.
+    import sys
+
+    print(f"[bench] n=2^{logn} gen={t_gen:.1f}s msm={dt:.1f}s "
+          f"chunk=2^{chunk_log}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,11 @@ from ...ff.jquad import QuadCtx
 from ...ops.curve import encode_points_g2
 from ...ops.msm import MSMCtx, encode_scalars, pad_msm_size
 from ...ops.lntt import LNTTCtx, from_lf, to_lf
-from ...ops.msm_wave import MSMWave, encode_points_affine_rows
+from ...ops.msm_wave import (
+    MSMWave,
+    encode_points_affine_rows,
+    encode_points_affine_rows_g2,
+)
 from ...ops.ntt import NTTCtx, bitrev_permutation
 from ...ops.spmv import SpMV
 
@@ -47,27 +51,41 @@ class DeviceProver:
         pad_w = [None] * (self.m_pad - m)
 
         # Pallas wave MSM needs a real TPU (Mosaic); the XLA MSM covers the
-        # virtual-CPU test mesh. G2 always takes the XLA path for now
-        # (Fq2 Pallas kernels: future work).
+        # virtual-CPU test mesh.
         self.use_wave = jax.default_backend() == "tpu"
         h_nat = pk.h_g1 + [None] * (n - len(pk.h_g1))
         rev = bitrev_permutation(n)
         h_br_pts = [h_nat[rev[i]] for i in range(n)]
         if self.use_wave:
+            # Wave sizes round up to a power of two (identity rows, zero
+            # scalars) so the expensive Mosaic kernel compiles are shared
+            # across circuits — the compile cache keys on shapes.
+            def wpad(size):
+                return max(1 << (size - 1).bit_length(), 1024)
+
+            self.m_wave = wpad(m)
+            self.aux_wave = wpad(r1cs.num_aux)
+            pad_mw = [None] * (self.m_wave - m)
             # G1 queries: affine row tables for the Pallas wave MSM
-            self.a_g1 = encode_points_affine_rows(self.fq, pk.a_g1)
-            self.b_g1 = encode_points_affine_rows(self.fq, pk.b_g1)
-            self.l_g1 = encode_points_affine_rows(self.fq, pk.l_g1)
-            self.h_g1 = encode_points_affine_rows(self.fq, h_br_pts)
+            self.a_g1 = encode_points_affine_rows(self.fq, pk.a_g1 + pad_mw)
+            self.b_g1 = encode_points_affine_rows(self.fq, pk.b_g1 + pad_mw)
+            self.l_g1 = encode_points_affine_rows(
+                self.fq,
+                pk.l_g1 + [None] * (self.aux_wave - r1cs.num_aux))
+            self.h_g1 = encode_points_affine_rows(
+                self.fq, h_br_pts + [None] * (wpad(n) - n))
 
-            def wave(size):
-                return (MSMWave(self.fq, size, c=12, v=8)
-                        if size >= (1 << 18) else MSMWave(self.fq, size))
+            def wave(size, **kw):
+                return (MSMWave(self.fq, size, c=12, v=8, **kw)
+                        if size >= (1 << 18)
+                        else MSMWave(self.fq, size, **kw))
 
-            self.msm_w_g1 = wave(m)
-            self.msm_aux = (self.msm_w_g1 if r1cs.num_aux == m
-                            else wave(r1cs.num_aux))
-            self.msm_h = self.msm_w_g1 if n == m else wave(n)
+            self.n_wave = wpad(n)
+            self.msm_w_g1 = wave(self.m_wave)
+            self.msm_aux = (self.msm_w_g1 if self.aux_wave == self.m_wave
+                            else wave(self.aux_wave))
+            self.msm_h = (self.msm_w_g1 if self.n_wave == self.m_wave
+                          else wave(self.n_wave))
         else:
             from ...ops.curve import encode_points_g1
 
@@ -85,11 +103,20 @@ class DeviceProver:
 
         from ...native import cext
 
-        # G2 B-query: the C++ host Pippenger beats the XLA device MSM by
-        # ~17x until the Fq2 Pallas kernels land (ROADMAP.md item 1);
-        # keep the device path as fallback when the toolchain is absent.
-        self.g2_host = cext.available()
-        if self.g2_host:
+        # G2 B-query (the single most expensive MSM of the proof,
+        # VERDICT round-1 item #1): on TPU it rides the same wave
+        # schedule as G1 over the Pallas Fq2 kernels (ff/pquad.py).
+        # Off-TPU, the C++ host Pippenger beats the XLA device MSM by
+        # ~17x; keep XLA as last-resort when the toolchain is absent.
+        self.g2_host = (not self.use_wave) and cext.available()
+        if self.use_wave:
+            self.b_g2 = encode_points_affine_rows_g2(
+                self.fq, pk.b_g2 + [None] * (self.m_wave - m))
+            self.msm_w_g2 = (MSMWave(self.fq, self.m_wave, c=12, v=8,
+                                     g2=True)
+                             if self.m_wave >= (1 << 18)
+                             else MSMWave(self.fq, self.m_wave, g2=True))
+        elif self.g2_host:
             self.b_g2_pts = list(pk.b_g2)
             self.b_g2 = None
             self.msm_w_g2 = None
@@ -145,34 +172,52 @@ class DeviceProver:
         return self._jit_pipeline(z_mont)
 
     # ---- MSMs ---------------------------------------------------------------
-    def msms(self, z, aux, h_br):
+    def msms(self, z, aux, h_br, timer=None):
         """z, aux: host int lists (canonical); h_br: (N, K) canonical device
-        limbs. Returns (a, b1, b2, l, h) as host affine points."""
+        limbs. Returns (a, b1, b2, l, h) as host affine points. `timer`
+        (utils.profiling.StageTimer) records a per-MSM breakdown."""
         from ...native import cext
         from ...ops.curve import decode_point_g1, decode_point_g2
+        from ...utils.profiling import StageTimer
 
+        tm = timer if timer is not None else StageTimer(publish=False)
         k = self.fq.k
-        z_sc_pad = None if self.use_wave else encode_scalars(z, self.m_pad, k)
-        if self.g2_host:
-            b2 = cext.g2_msm(self.b_g2_pts, z)
-        else:
-            if z_sc_pad is None:
-                z_sc_pad = encode_scalars(z, self.m_pad, k)
-            b2 = decode_point_g2(
-                self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
-            )
         if self.use_wave:
-            m = self.params.r1cs.num_wires
-            z_sc = encode_scalars(z, m, k)
-            aux_sc = encode_scalars(aux, self.params.r1cs.num_aux, k)
-            a = self.msm_w_g1.msm(self.a_g1, z_sc)
-            b1 = self.msm_w_g1.msm(self.b_g1, z_sc)
-            l = self.msm_aux.msm(self.l_g1, aux_sc)
-            h = self.msm_h.msm(self.h_g1, h_br)
-        else:
-            aux_sc = encode_scalars(aux, self.aux_pad, k)
-            a = decode_point_g1(self.fq, self.msm_w_g1.jit_msm(self.a_g1, z_sc_pad))
-            b1 = decode_point_g1(self.fq, self.msm_w_g1.jit_msm(self.b_g1, z_sc_pad))
-            l = decode_point_g1(self.fq, self.msm_aux.jit_msm(self.l_g1, aux_sc))
-            h = decode_point_g1(self.fq, self.msm_h.jit_msm(self.h_g1, h_br))
+            z_sc = encode_scalars(z, self.m_wave, k)
+            aux_sc = encode_scalars(aux, self.aux_wave, k)
+            if h_br.shape[0] < self.n_wave:
+                h_br = jnp.pad(
+                    h_br, ((0, self.n_wave - h_br.shape[0]), (0, 0)))
+            with tm.stage("msm_a"):
+                a = self.msm_w_g1.msm(self.a_g1, z_sc)
+            with tm.stage("msm_b1"):
+                b1 = self.msm_w_g1.msm(self.b_g1, z_sc)
+            with tm.stage("msm_b2"):
+                b2 = self.msm_w_g2.msm(self.b_g2, z_sc)
+            with tm.stage("msm_l"):
+                l = self.msm_aux.msm(self.l_g1, aux_sc)
+            with tm.stage("msm_h"):
+                h = self.msm_h.msm(self.h_g1, h_br)
+            return a, b1, b2, l, h
+        z_sc_pad = encode_scalars(z, self.m_pad, k)
+        with tm.stage("msm_b2"):
+            if self.g2_host:
+                b2 = cext.g2_msm(self.b_g2_pts, z)
+            else:
+                b2 = decode_point_g2(
+                    self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
+                )
+        aux_sc = encode_scalars(aux, self.aux_pad, k)
+        with tm.stage("msm_a"):
+            a = decode_point_g1(
+                self.fq, self.msm_w_g1.jit_msm(self.a_g1, z_sc_pad))
+        with tm.stage("msm_b1"):
+            b1 = decode_point_g1(
+                self.fq, self.msm_w_g1.jit_msm(self.b_g1, z_sc_pad))
+        with tm.stage("msm_l"):
+            l = decode_point_g1(
+                self.fq, self.msm_aux.jit_msm(self.l_g1, aux_sc))
+        with tm.stage("msm_h"):
+            h = decode_point_g1(
+                self.fq, self.msm_h.jit_msm(self.h_g1, h_br))
         return a, b1, b2, l, h

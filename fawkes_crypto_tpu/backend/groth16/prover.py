@@ -136,10 +136,14 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     device_msm: True -> TPU MSM/NTT pipeline (backend/groth16/device.py);
     False -> host oracle path; None -> device for large circuits.
     """
+    from ...utils.profiling import StageTimer, device_trace
+
+    tm = StageTimer()
     p = Fr.p
-    inputs, aux = generate_witness_fast(
-        params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
-    )
+    with tm.stage("witness"):
+        inputs, aux = generate_witness_fast(
+            params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
+        )
     z = inputs + aux
     r1cs = params.r1cs
     assert len(z) == r1cs.num_wires
@@ -150,15 +154,17 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     # witness otherwise only surfaces as a proof that fails verification.
     # Costs a full host SpMV pass per proof, so it's env-gated.
     if os.environ.get("FAWKES_CHECK_SATISFIED", "") not in ("", "0"):
-        _assert_satisfied(r1cs, z, p)
+        with tm.stage("check_satisfied"):
+            _assert_satisfied(r1cs, z, p)
 
     if not device_msm:
-        az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
-                           r1cs.num_constraints, p)
-        bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
-                           r1cs.num_constraints, p)
-        cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
-                           r1cs.num_constraints, p)
+        with tm.stage("spmv"):
+            az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
+                               r1cs.num_constraints, p)
+            bz = sparse_matvec(r1cs.b_rows, r1cs.b_cols, r1cs.b_vals, z,
+                               r1cs.num_constraints, p)
+            cz = sparse_matvec(r1cs.c_rows, r1cs.c_cols, r1cs.c_vals, z,
+                               r1cs.num_constraints, p)
 
     if seed is None:
         seed = os.urandom(32)
@@ -174,28 +180,50 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
 
         dp = params.__dict__.setdefault("_device_prover", None)
         if dp is None:
-            dp = DeviceProver(params)
-            params.__dict__["_device_prover"] = dp
-        z_mont = jnp.asarray(dp.fr.encode(z))
-        h_br = dp.h_scalars_br(z_mont)
-        a_msm, b1_msm, b2_msm, l_pt, h_pt = dp.msms(z, aux, h_br)
+            with tm.stage("device_init"):
+                dp = DeviceProver(params)
+                params.__dict__["_device_prover"] = dp
+        with device_trace("groth16_prove"):
+            with tm.stage("spmv_ntt_h"):
+                z_mont = jnp.asarray(dp.fr.encode(z))
+                h_br = jax_block(dp.h_scalars_br(z_mont))
+            a_msm, b1_msm, b2_msm, l_pt, h_pt = dp.msms(
+                z, aux, h_br, timer=tm
+            )
         lh_msm = g_add(l_pt, h_pt)
     else:
-        h = compute_h_coeffs(params, az, bz, cz)
-        a_msm = msm_host(pk.a_g1, z, p)
-        b1_msm = msm_host(pk.b_g1, z, p)
-        b2_msm = msm_host(pk.b_g2, z, p)
-        lh_msm = g_add(msm_host(pk.l_g1, aux, p), msm_host(pk.h_g1, h, p))
+        with tm.stage("ntt_h"):
+            h = compute_h_coeffs(params, az, bz, cz)
+        with tm.stage("msm_a"):
+            a_msm = msm_host(pk.a_g1, z, p)
+        with tm.stage("msm_b1"):
+            b1_msm = msm_host(pk.b_g1, z, p)
+        with tm.stage("msm_b2"):
+            b2_msm = msm_host(pk.b_g2, z, p)
+        with tm.stage("msm_lh"):
+            lh_msm = g_add(msm_host(pk.l_g1, aux, p),
+                           msm_host(pk.h_g1, h, p))
 
-    # A = alpha + sum z_i u_i(tau) + r*delta
-    a_pt = g_add(g_add(pk.alpha_g1, a_msm), g_mul(pk.delta_g1, r))
-    # B = beta + sum z_i v_i(tau) + s*delta (G2), B1 same in G1
-    b_pt = g_add(g_add(pk.beta_g2, b2_msm), g_mul(pk.delta_g2, s))
-    b1_pt = g_add(g_add(pk.beta_g1, b1_msm), g_mul(pk.delta_g1, s))
-    # C = sum_aux z_i l_i + sum h_i H_i + s*A + r*B1 - r*s*delta
-    c_pt = lh_msm
-    c_pt = g_add(c_pt, g_mul(a_pt, s))
-    c_pt = g_add(c_pt, g_mul(b1_pt, r))
-    c_pt = g_add(c_pt, g_neg(g_mul(pk.delta_g1, r * s % p)))
+    with tm.stage("host_tail"):
+        # A = alpha + sum z_i u_i(tau) + r*delta
+        a_pt = g_add(g_add(pk.alpha_g1, a_msm), g_mul(pk.delta_g1, r))
+        # B = beta + sum z_i v_i(tau) + s*delta (G2), B1 same in G1
+        b_pt = g_add(g_add(pk.beta_g2, b2_msm), g_mul(pk.delta_g2, s))
+        b1_pt = g_add(g_add(pk.beta_g1, b1_msm), g_mul(pk.delta_g1, s))
+        # C = sum_aux z_i l_i + sum h_i H_i + s*A + r*B1 - r*s*delta
+        c_pt = lh_msm
+        c_pt = g_add(c_pt, g_mul(a_pt, s))
+        c_pt = g_add(c_pt, g_mul(b1_pt, r))
+        c_pt = g_add(c_pt, g_neg(g_mul(pk.delta_g1, r * s % p)))
 
+    tm.close()
     return inputs[1:], Proof(a=a_pt, b=b_pt, c=c_pt)
+
+
+def jax_block(x):
+    """Block on device completion so stage timers measure real work
+    (axon dispatch is async)."""
+    try:
+        return x.block_until_ready()
+    except AttributeError:
+        return x

@@ -145,6 +145,160 @@ def vk_from_bytes(data: bytes) -> VK:
     return VK(alpha=alpha, beta=beta, gamma=gamma, delta=delta, ic=ic)
 
 
+# ---- witness program <-> bytes -------------------------------------------------
+#
+# The compiled witness program (WitnessOps + inputize LCs) persists inside
+# the Parameters npz, making the artifact self-sufficient like the
+# reference's (gate blob + const tracker, mod.rs:139-177): write -> read ->
+# prove re-uses the fast compiled-witness path with no circuit callables.
+# Hints serialize as (registry name, JSON meta) — see circuit/hints.py.
+#
+# Format (little-endian): u32 n_ops, u32 n_inputize; per op a u8 kind tag
+# then kind-specific payload; LC = u32 nterms + nterms x (32B coeff,
+# u64 wire index); indices are the raw Input(i)/AUX_BASE+i encoding of
+# circuit/lc.py.
+
+_OP_KINDS = {"mul": 0, "div": 1, "inv_or": 2, "bit": 3, "hint": 4}
+_OP_NAMES = {v: k for k, v in _OP_KINDS.items()}
+
+
+def _lc_to_bytes(lc) -> bytes:
+    terms = list(lc)
+    out = [len(terms).to_bytes(4, "little")]
+    for coeff, idx in terms:
+        out.append(int(coeff).to_bytes(32, "little"))
+        out.append(int(idx).to_bytes(8, "little"))
+    return b"".join(out)
+
+
+def _lc_from(buf: memoryview, off: int):
+    n = int.from_bytes(bytes(buf[off:off + 4]), "little")
+    off += 4
+    terms = []
+    for _ in range(n):
+        coeff = int.from_bytes(bytes(buf[off:off + 32]), "little")
+        idx = int.from_bytes(bytes(buf[off + 32:off + 40]), "little")
+        off += 40
+        terms.append((coeff, idx))
+    return terms, off
+
+
+def witness_program_to_bytes(witness_ops: dict, inputize_lcs: list) -> bytes:
+    import json
+
+    out = io.BytesIO()
+    out.write(len(witness_ops).to_bytes(4, "little"))
+    out.write(len(inputize_lcs).to_bytes(4, "little"))
+    for op in witness_ops.values():
+        kind = _OP_KINDS[op.kind]
+        out.write(bytes([kind]))
+        outs = op.out if isinstance(op.out, tuple) else (op.out,)
+        out.write(len(outs).to_bytes(4, "little"))
+        for o in outs:
+            out.write(int(o).to_bytes(8, "little"))
+        if op.kind in ("mul", "div"):
+            out.write(_lc_to_bytes(op.a))
+            out.write(_lc_to_bytes(op.b))
+            extra = (op.aux or 0) if op.kind == "mul" else 0
+            out.write(int(extra).to_bytes(32, "little"))
+        elif op.kind == "inv_or":
+            out.write(_lc_to_bytes(op.a))
+            out.write(int(op.aux).to_bytes(32, "little"))
+        elif op.kind == "bit":
+            out.write(_lc_to_bytes(op.a))
+            out.write(int(op.aux).to_bytes(4, "little"))
+        else:  # hint
+            name, meta = op.aux
+            if callable(meta):
+                raise TypeError(
+                    f"hint '{name}' metadata is a callable; record hints "
+                    "as (name, json-safe meta) via circuit/hints.py"
+                )
+            out.write(len(op.a).to_bytes(4, "little"))
+            for lc in op.a:
+                if lc is None:
+                    out.write(b"\x00")
+                else:
+                    out.write(b"\x01")
+                    out.write(_lc_to_bytes(lc))
+            nb = name.encode()
+            mb = json.dumps(meta, sort_keys=True).encode()
+            out.write(len(nb).to_bytes(2, "little"))
+            out.write(nb)
+            out.write(len(mb).to_bytes(2, "little"))
+            out.write(mb)
+    for lc in inputize_lcs:
+        out.write(_lc_to_bytes(lc))
+    return out.getvalue()
+
+
+def witness_program_from_bytes(data: bytes):
+    import json
+
+    from ...circuit.cs import WitnessOp
+
+    buf = memoryview(data)
+    n_ops = int.from_bytes(bytes(buf[0:4]), "little")
+    n_inp = int.from_bytes(bytes(buf[4:8]), "little")
+    off = 8
+    witness_ops = {}
+    for _ in range(n_ops):
+        kind = _OP_NAMES[buf[off]]
+        off += 1
+        n_out = int.from_bytes(bytes(buf[off:off + 4]), "little")
+        off += 4
+        outs = []
+        for _ in range(n_out):
+            outs.append(int.from_bytes(bytes(buf[off:off + 8]), "little"))
+            off += 8
+        if kind in ("mul", "div"):
+            a, off = _lc_from(buf, off)
+            b, off = _lc_from(buf, off)
+            extra = int.from_bytes(bytes(buf[off:off + 32]), "little")
+            off += 32
+            op = WitnessOp(kind, outs[0], a=a, b=b,
+                           aux=extra if kind == "mul" else None)
+        elif kind == "inv_or":
+            a, off = _lc_from(buf, off)
+            aux = int.from_bytes(bytes(buf[off:off + 32]), "little")
+            off += 32
+            op = WitnessOp(kind, outs[0], a=a, aux=aux)
+        elif kind == "bit":
+            a, off = _lc_from(buf, off)
+            aux = int.from_bytes(bytes(buf[off:off + 4]), "little")
+            off += 4
+            op = WitnessOp(kind, outs[0], a=a, aux=aux)
+        else:  # hint
+            n_lcs = int.from_bytes(bytes(buf[off:off + 4]), "little")
+            off += 4
+            lcs = []
+            for _ in range(n_lcs):
+                present = buf[off]
+                off += 1
+                if present:
+                    lc, off = _lc_from(buf, off)
+                    lcs.append(lc)
+                else:
+                    lcs.append(None)
+            nl = int.from_bytes(bytes(buf[off:off + 2]), "little")
+            off += 2
+            name = bytes(buf[off:off + nl]).decode()
+            off += nl
+            ml = int.from_bytes(bytes(buf[off:off + 2]), "little")
+            off += 2
+            meta = json.loads(bytes(buf[off:off + ml]).decode())
+            off += ml
+            op = WitnessOp(kind, tuple(outs), a=lcs, aux=(name, meta))
+        key = op.out
+        witness_ops[key] = op
+    inputize_lcs = []
+    for _ in range(n_inp):
+        lc, off = _lc_from(buf, off)
+        inputize_lcs.append(lc)
+    assert off == len(data), "trailing bytes in witness program"
+    return witness_ops, inputize_lcs
+
+
 # ---- Parameters <-> npz ---------------------------------------------------------
 
 def _g1s_to_array(pts: List) -> np.ndarray:
@@ -210,6 +364,11 @@ def write_parameters(path: str, params: Parameters) -> None:
         pk_b_g2=_g2s_to_array(params.pk.b_g2),
         pk_l_g1=_g1s_to_array(params.pk.l_g1),
         pk_h_g1=_g1s_to_array(params.pk.h_g1),
+        witness_program=np.frombuffer(
+            witness_program_to_bytes(params.witness_ops,
+                                     params.inputize_lcs),
+            dtype=np.uint8,
+        ),
     )
 
 
@@ -244,8 +403,14 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
         l_g1=_g1s_from_array(z["pk_l_g1"], checked),
         h_g1=_g1s_from_array(z["pk_h_g1"], checked),
     )
+    witness_ops, inputize_lcs = {}, []
+    if "witness_program" in z:
+        witness_ops, inputize_lcs = witness_program_from_bytes(
+            z["witness_program"].tobytes()
+        )
     return Parameters(
         vk=vk, pk=pk, r1cs=r1cs,
         const_tracker=[bool(b) for b in z["const_tracker"]],
-        witness_ops={}, n_public=n_public,
+        witness_ops=witness_ops, n_public=n_public,
+        inputize_lcs=inputize_lcs,
     )

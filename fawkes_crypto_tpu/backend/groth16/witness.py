@@ -117,9 +117,11 @@ class WitnessProgram:
                 a = self._lc_eval(op.a, z_in, z_aux)
                 z_aux[first] = (a >> op.aux) & 1
             elif op.kind == "hint":
-                name, host_fn = op.aux
+                from ...circuit.hints import resolve_hint
+
+                name, meta = op.aux
                 ins = [Num(Fr, self._lc_eval(lc, z_in, z_aux)) for lc in op.a]
-                outs = host_fn(ins)
+                outs = resolve_hint(name)(meta, ins)
                 if not isinstance(outs, (tuple, list)):
                     outs = (outs,)
                 for o_idx, val in zip(op.out, outs):

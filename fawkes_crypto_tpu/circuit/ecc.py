@@ -23,10 +23,13 @@ from .mux import c_mux3
 from .num import CNum, _records
 
 
-def _record_hint(cs, name, input_lcs, out_signals, host_fn):
+def _record_hint(cs, name, meta, input_lcs, out_signals):
+    """Record a named witness hint (circuit/hints.py registry). aux is
+    the serializable (name, meta) pair, so compiled witness programs
+    survive Parameters write/read — no closures."""
     if _records(cs):
         outs = tuple(next(iter(s.lc.terms)) for s in out_signals)
-        cs.record_op(WitnessOp("hint", outs, a=input_lcs, aux=(name, host_fn)))
+        cs.record_op(WitnessOp("hint", outs, a=input_lcs, aux=(name, meta)))
 
 
 @signal(EdwardsPoint)
@@ -84,12 +87,10 @@ class CEdwardsPoint:
         pre_value = value.mul(inv8, params) if value is not None else None
         preimage = CEdwardsPoint.alloc(self.cs, pre_value)
         _record_hint(
-            self.cs, "jubjub_mul_inv8",
+            self.cs, "jubjub_mul_inv8", {"curve": params.name},
             [self.x.lc.to_vec() if self.x.lc else None,
              self.y.lc.to_vec() if self.y.lc else None],
             [preimage.x, preimage.y],
-            lambda xs: (lambda p: (p.x, p.y))(
-                EdwardsPoint(xs[0], xs[1]).mul(inv8, params)),
         )
         preimage.assert_in_curve(params)
         preimage8 = preimage.mul_by_cofactor(params)
@@ -109,12 +110,9 @@ class CEdwardsPoint:
             pre_value = p.mul(inv8, params)
         preimage = CEdwardsPoint.alloc(cs, pre_value)
         _record_hint(
-            cs, "jubjub_decompress_inv8",
+            cs, "jubjub_decompress_inv8", {"curve": params.name},
             [x.lc.to_vec() if x.lc else None],
             [preimage.x, preimage.y],
-            lambda xs: (lambda p: (p.x, p.y))(
-                (EdwardsPoint.subgroup_decompress(xs[0], params)
-                 or params.edwards_g).mul(inv8, params)),
         )
         preimage.assert_in_curve(params)
         preimage8 = preimage.mul_by_cofactor(params)
@@ -218,17 +216,11 @@ class CEdwardsPoint:
                 y_value = _y if (_y * t.value).is_even() else -_y
             y = x.derive_alloc(y_value)
 
-            def hint(vals):
-                gv, tv = vals
-                gs = gv.sqrt()
-                _y = gs if gs is not None else (gv * u).sqrt()
-                return (_y if (_y * tv).is_even() else -_y,)
-
             _record_hint(
-                cs, "montgomery_get_y",
+                cs, "montgomery_get_y", {"curve": params.name},
                 [g.lc.to_vec() if g.lc else None,
                  t.lc.to_vec() if t.lc else None],
-                [y], hint,
+                [y],
             )
 
             (y * t).assert_even()

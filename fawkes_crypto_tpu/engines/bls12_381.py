@@ -36,5 +36,5 @@ def jubjub_bls12_381() -> JubJubParams:
     return JubJubParams(
         fr=Fr, fs=Fs, edwards_g=edwards_g, edwards_d=edwards_d,
         montgomery_a=montgomery_a, montgomery_b=montgomery_b,
-        montgomery_u=montgomery_u,
+        montgomery_u=montgomery_u, name="jubjub_bls12_381",
     )

@@ -228,8 +228,9 @@ def make_mont_mul(pf: PField, sub: int = 8):
     @jax.jit
     def run(a, b):
         m = a.shape[1]
-        grid = (m // sub,)
-        spec = pl.BlockSpec((k, sub, 128), lambda g: (0, g, 0),
+        sb = min(sub, m)
+        grid = (m // sb,)
+        spec = pl.BlockSpec((k, sb, 128), lambda g: (0, g, 0),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
@@ -237,6 +238,7 @@ def make_mont_mul(pf: PField, sub: int = 8):
             grid=grid,
             in_specs=[spec, spec],
             out_specs=spec,
+            interpret=jax.default_backend() != "tpu",
         )(a, b)
 
     return run

@@ -23,6 +23,8 @@ class JubJubParams:
     montgomery_a: Num
     montgomery_b: Num
     montgomery_u: Num
+    # registry name for serializable witness hints (circuit/hints.py)
+    name: str = "jubjub_bn256"
 
 
 class EdwardsPoint:

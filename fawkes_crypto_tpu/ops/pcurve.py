@@ -133,6 +133,50 @@ def _ec_madd_lists(pf: PField, p, q):
     return x3, y3, z3
 
 
+def _ec_madd_affine_fast_lists(pf, p, x2, y2):
+    """Mixed add WITHOUT the inline doubling path (~10 muls vs ~17):
+    when p == q (h = r = 0, both finite) the lane reports need_dbl and
+    keeps its state — the caller re-runs that wave through the unified
+    kernel. Collisions require duplicate points landing on an equal
+    accumulator, so the fast path covers virtually every wave of a
+    distinct-point MSM. Returns (x3, y3, z3, need_dbl)."""
+    f = pf
+    x1, y1, z1 = p
+    z1z1 = f.f_sqr(z1)
+    u2 = f.f_mul(x2, z1z1)
+    s2 = f.f_mul(f.f_mul(y2, z1), z1z1)
+    h = f.f_sub(u2, x1)
+    r = f.f_sub(s2, y1)
+
+    hh = f.f_sqr(h)
+    i = f.f_double(f.f_double(hh))
+    j = f.f_mul(h, i)
+    rr = f.f_double(r)
+    v = f.f_mul(x1, i)
+    x3 = f.f_sub(f.f_sub(f.f_sqr(rr), j), f.f_double(v))
+    y3 = f.f_sub(f.f_mul(rr, f.f_sub(v, x3)),
+                 f.f_double(f.f_mul(y1, j)))
+    z3 = f.f_sub(f.f_sub(f.f_sqr(f.f_add(z1, h)), z1z1), hh)
+
+    p_inf = f.f_is_zero(z1)
+    q_inf = f.f_is_zero(x2) & f.f_is_zero(y2)
+    h_zero = f.f_is_zero(h)
+    r_zero = f.f_is_zero(r)
+    need_dbl = h_zero & r_zero & ~p_inf & ~q_inf
+    use_inf = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+    one = [jnp.full_like(x1[0], v_) for v_ in pf.r_limbs]
+    z3 = f.f_select(use_inf, [jnp.zeros_like(v_) for v_ in z3], z3)
+    x3 = f.f_select(q_inf, x1, f.f_select(p_inf, x2, x3))
+    y3 = f.f_select(q_inf, y1, f.f_select(p_inf, y2, y3))
+    z3 = f.f_select(q_inf, z1, f.f_select(p_inf, one, z3))
+    # on need_dbl keep the original state (caller re-dispatches the wave)
+    x3 = f.f_select(need_dbl, x1, x3)
+    y3 = f.f_select(need_dbl, y1, y3)
+    z3 = f.f_select(need_dbl, z1, z3)
+    return x3, y3, z3, need_dbl
+
+
 def _ec_madd_affine_lists(pf: PField, p, x2, y2):
     """Unified mixed add with q strictly affine: q = (x2, y2), z2 = 1
     implicit; q is the identity iff x2 == y2 == 0 ((0,0) is not on
@@ -227,14 +271,15 @@ class PCurve:
         @jax.jit
         def run(state, pts, valid):
             m = state.shape[1]
-            spec = pl.BlockSpec((3 * k, sub, 128), lambda g: (0, g, 0),
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
                                 memory_space=pltpu.VMEM)
-            mspec = pl.BlockSpec((sub, 128), lambda g: (g, 0),
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
-                grid=(m // sub,),
+                grid=(m // sb,),
                 in_specs=[spec, spec, mspec],
                 out_specs=spec,
                 interpret=_interpret(),
@@ -263,14 +308,15 @@ class PCurve:
         @jax.jit
         def run(state, pts, valid):
             m = state.shape[1]
-            spec = pl.BlockSpec((3 * k, sub, 128), lambda g: (0, g, 0),
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
                                 memory_space=pltpu.VMEM)
-            mspec = pl.BlockSpec((sub, 128), lambda g: (g, 0),
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
-                grid=(m // sub,),
+                grid=(m // sb,),
                 in_specs=[spec, spec, mspec],
                 out_specs=spec,
                 interpret=_interpret(),
@@ -301,18 +347,66 @@ class PCurve:
         @jax.jit
         def run(state, pts, valid):
             m = state.shape[1]
-            spec = pl.BlockSpec((3 * k, sub, 128), lambda g: (0, g, 0),
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
                                 memory_space=pltpu.VMEM)
-            pspec = pl.BlockSpec((2 * k, sub, 128), lambda g: (0, g, 0),
+            pspec = pl.BlockSpec((2 * k, sb, 128), lambda g: (0, g, 0),
                                  memory_space=pltpu.VMEM)
-            mspec = pl.BlockSpec((sub, 128), lambda g: (g, 0),
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
-                grid=(m // sub,),
+                grid=(m // sb,),
                 in_specs=[spec, pspec, mspec],
                 out_specs=spec,
+                interpret=_interpret(),
+            )(state, pts, valid)
+
+        return run
+
+    @functools.cached_property
+    def madd_affine_fast(self):
+        """Fast mixed add: no inline doubling (~1.6x the throughput of
+        madd_affine_masked). Returns (state', flags) — flags (M,128)
+        uint32, 1 where a lane needed p == q doubling (state kept); the
+        wave scheduler re-runs such waves through the unified kernel."""
+        k, sub = self.k, self.sub
+
+        def kernel(s_ref, p_ref, m_ref, o_ref, f_ref):
+            s = self._point_from_ref(s_ref)
+            x2 = [p_ref[i] for i in range(k)]
+            y2 = [p_ref[k + i] for i in range(k)]
+            x3, y3, z3, need_dbl = _ec_madd_affine_fast_lists(
+                self.pf, s, x2, y2)
+            valid = m_ref[:] > 0
+            out = (
+                self.pf.f_select(valid, x3, s[0]),
+                self.pf.f_select(valid, y3, s[1]),
+                self.pf.f_select(valid, z3, s[2]),
+            )
+            self._point_to_ref(o_ref, out)
+            f_ref[:] = jnp.where(need_dbl & valid, 1, 0).astype(jnp.uint32)
+
+        @jax.jit
+        def run(state, pts, valid):
+            m = state.shape[1]
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
+                                memory_space=pltpu.VMEM)
+            pspec = pl.BlockSpec((2 * k, sb, 128), lambda g: (0, g, 0),
+                                 memory_space=pltpu.VMEM)
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct(state.shape, state.dtype),
+                    jax.ShapeDtypeStruct(valid.shape, jnp.uint32),
+                ),
+                grid=(m // sb,),
+                in_specs=[spec, pspec, mspec],
+                out_specs=(spec, mspec),
                 interpret=_interpret(),
             )(state, pts, valid)
 
@@ -330,12 +424,13 @@ class PCurve:
         @jax.jit
         def run(state):
             m = state.shape[1]
-            spec = pl.BlockSpec((3 * k, sub, 128), lambda g: (0, g, 0),
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
                                 memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
-                grid=(m // sub,),
+                grid=(m // sb,),
                 in_specs=[spec],
                 out_specs=spec,
                 interpret=_interpret(),

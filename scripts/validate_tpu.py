@@ -70,6 +70,62 @@ def check_msm():
     print("wave MSM 2^12 vs C++ oracle: OK")
 
 
+def check_msm_g2():
+    from fawkes_crypto_tpu.native.bn_pairing import G2_GEN, g_mul
+    from fawkes_crypto_tpu.ops.msm_wave import encode_points_affine_rows_g2
+
+    fctx = FieldCtx.get(Fq)
+    base = [g_mul(G2_GEN, rng.randrange(1, 1 << 62)) for _ in range(64)]
+    n = 1 << 10
+    pts = [base[i % 64] for i in range(n)]
+    pts[3] = None
+    scalars = [rng.randrange(Fr.p) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = Fr.p - 1
+    got = MSMWave(fctx, n, g2=True).msm(
+        encode_points_affine_rows_g2(fctx, pts),
+        encode_scalars(scalars, n, fctx.k),
+    )
+    want = cext.g2_msm([q for q in pts if q],
+                       [s for q, s in zip(pts, scalars) if q])
+    assert got == want, "G2 wave MSM != C++ oracle"
+    print("G2 wave MSM 2^10 vs C++ oracle: OK")
+
+
+def check_tablegen_chunked():
+    """Device table generator (distinct points) + chunked wave MSM vs
+    the C++ oracle — the streamed-CRS path bench.py runs at 2^25."""
+    import numpy as np
+
+    from fawkes_crypto_tpu.native.bn_pairing import g1_is_on_curve
+    from fawkes_crypto_tpu.ops.msm_wave import MSMWave
+    from fawkes_crypto_tpu.ops.tablegen import (
+        gen_distinct_rows,
+        random_scalar_limbs,
+    )
+
+    fctx = FieldCtx.get(Fq)
+    k = fctx.k
+    n, chunk = 1 << 13, 1 << 12
+    table = gen_distinct_rows(fctx, n, chunk=chunk, na=128)
+    sc = random_scalar_limbs(n, k, seed=3)
+    got = MSMWave(fctx, chunk).msm_chunked(table, sc)
+
+    rows = np.asarray(table)
+    xs = fctx.decode(np.ascontiguousarray(rows[:, :k]))
+    ys = fctx.decode(np.ascontiguousarray(rows[:, k:]))
+    pts = list(zip(xs, ys))
+    assert len(set(pts)) == n, "generated points must be distinct"
+    for i in range(0, n, 997):
+        assert g1_is_on_curve(pts[i]), f"row {i} off-curve"
+    sc_h = np.asarray(sc).astype(object)
+    ints = [int(sum(int(v) << (16 * j) for j, v in enumerate(r)))
+            for r in sc_h]
+    want = cext.g1_msm(pts, ints)
+    assert got == want, "chunked MSM != C++ oracle"
+    print("tablegen + chunked MSM 2^13 vs C++ oracle: OK")
+
+
 def check_poseidon():
     pp = PoseidonParams.new(Fr, 4, 8, 54)
 
@@ -133,6 +189,8 @@ def check_merkle32():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     check_msm()
+    check_msm_g2()
+    check_tablegen_chunked()
     check_poseidon()
     if mode == "full":
         check_merkle32()

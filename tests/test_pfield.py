@@ -110,3 +110,47 @@ def test_pcurve_lists_vs_host():
             zi = pow(zs[i], -1, p_mod)
             assert (xs[i] * zi * zi % p_mod,
                     ys[i] * zi * zi % p_mod * zi % p_mod) == want
+
+
+def test_madd_affine_fast_lists():
+    """Fast mixed add (no doubling path): correct on all non-doubling
+    branches, flags p == q lanes and keeps their state."""
+    from fawkes_crypto_tpu.native.bn_pairing import (
+        G1_GEN, g_add, g_mul, g_neg,
+    )
+    from fawkes_crypto_tpu.ops.pcurve import _ec_madd_affine_fast_lists
+    import numpy as np
+
+    fctx = FieldCtx.get(Fq)
+    pf = PField.get(Fq)
+    pts_p = [g_mul(G1_GEN, rng.randrange(1, 1 << 62)) for _ in range(6)]
+    pts_q = [g_mul(G1_GEN, rng.randrange(1, 1 << 62)) for _ in range(6)]
+    pts_q[2] = pts_p[2]           # p == q -> need_dbl, state kept
+    pts_q[3] = g_neg(pts_p[3])    # p == -q -> infinity
+    pts_q[4] = None               # q at infinity
+    n = len(pts_p)
+    px = _to_lists(fctx, [p[0] for p in pts_p])
+    py = _to_lists(fctx, [p[1] for p in pts_p])
+    pz = _to_lists(fctx, [1 if i != 5 else 0 for i in range(n)])
+    qx = _to_lists(fctx, [(q[0] if q else 0) for q in pts_q])
+    qy = _to_lists(fctx, [(q[1] if q else 0) for q in pts_q])
+
+    x3, y3, z3, flag = _ec_madd_affine_fast_lists(pf, (px, py, pz), qx, qy)
+    xs, ys, zs = (_from_lists(fctx, t) for t in (x3, y3, z3))
+    flags = np.asarray(flag)[0]
+    p_mod = Fq.p
+    for i in range(n):
+        if i == 2:
+            assert bool(flags[i]), "p == q must flag need_dbl"
+            assert (xs[i], ys[i], zs[i] % p_mod) == (
+                pts_p[i][0], pts_p[i][1], 1), "state must be kept"
+            continue
+        assert not bool(flags[i])
+        p_aff = pts_p[i] if i != 5 else None
+        want = g_add(p_aff, pts_q[i])
+        if zs[i] % p_mod == 0:
+            assert want is None, f"slot {i}"
+        else:
+            zi = pow(zs[i], -1, p_mod)
+            assert (xs[i] * zi * zi % p_mod,
+                    ys[i] * zi * zi % p_mod * zi % p_mod) == want, f"slot {i}"

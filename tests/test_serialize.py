@@ -111,3 +111,55 @@ def test_invalid_point_rejection():
         g2_from_bytes(memoryview(bytes(badq)))
     q5, _ = g2_from_bytes(memoryview(g2_to_bytes(g_mul(G2_GEN, 5))))
     assert q5 is not None
+
+
+def test_witness_program_persists(tmp_path):
+    """Parameters are self-sufficient (reference mod.rs:139-177): the
+    compiled witness program — including named hints, which were closures
+    in round 1 — survives write -> read, so a reloaded artifact proves via
+    the fast path with NO circuit callables at all."""
+    from fawkes_crypto_tpu.circuit.eddsaposeidon import c_eddsaposeidon_verify
+    from fawkes_crypto_tpu.engines.bn256 import Fs, jubjub_bn256
+    from fawkes_crypto_tpu.native.eddsaposeidon import eddsaposeidon_sign
+    from fawkes_crypto_tpu.native.poseidon import PoseidonParams
+
+    jp = jubjub_bn256()
+    pp = PoseidonParams.new(Fr, 4, 8, 54)
+    sk = Num(Fs, rng.randrange(Fs.p))
+    m = Num(Fr, rng.randrange(Fr.p))
+    s, r = eddsaposeidon_sign(sk, m, pp, jp)
+    a = jp.edwards_g.mul(sk, jp).x
+
+    def circuit(pub, sec):
+        ss, sr, sa = sec
+        c_eddsaposeidon_verify(ss, sr, sa, pub, pp, jp).assert_const(True)
+
+    def alloc_pub(cs, v):
+        return CNum.alloc(cs, v)
+
+    def alloc_sec(cs, v):
+        if v is None:
+            return tuple(CNum.alloc(cs, None) for _ in range(3))
+        return tuple(CNum.alloc(cs, x) for x in v)
+
+    params = setup(circuit, alloc_pub, alloc_sec, seed=b"wpp")
+    sec = (Num(Fr, s.x), r, a)
+    inputs, proof = prove(params, m, sec, circuit, alloc_pub, alloc_sec,
+                          seed=b"z", device_msm=False)
+
+    path = str(tmp_path / "p.npz")
+    write_parameters(path, params)
+    params2 = read_parameters(path)
+    assert params2.witness_ops, "witness program must persist"
+    assert len(params2.witness_ops) == len(params.witness_ops)
+    assert params2.inputize_lcs == [list(lc) for lc in params.inputize_lcs]
+
+    # no circuit / alloc callables: witness must come from the program
+    def boom(*_a, **_k):
+        raise AssertionError("DSL replay must not run")
+
+    inputs2, proof2 = prove(params2, m, sec, boom, boom, boom, seed=b"z",
+                            device_msm=False)
+    assert inputs2 == inputs
+    assert (proof2.a, proof2.b, proof2.c) == (proof.a, proof.b, proof.c)
+    assert verify(params2.vk, proof2, inputs2)
