@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...engines.bn256 import Fq, Fr
 from ...ff.jfield import FieldCtx
 from ...ff.jquad import QuadCtx
 from ...ops.curve import encode_points_g2
@@ -39,6 +38,8 @@ class DeviceProver:
 
     def __init__(self, params):
         self.params = params
+        E = params.E
+        Fq, Fr = E.fq, E.fr
         self.fq = FieldCtx.get(Fq)
         self.fr = FieldCtx.get(Fr)
         self.qq = QuadCtx.get(Fq)
@@ -101,14 +102,12 @@ class DeviceProver:
             self.msm_h = (self.msm_w_g1 if n == self.m_pad
                           else MSMCtx(self.fq, n))
 
-        from ...native import cext
-
         # G2 B-query (the single most expensive MSM of the proof,
         # VERDICT round-1 item #1): on TPU it rides the same wave
         # schedule as G1 over the Pallas Fq2 kernels (ff/pquad.py).
         # Off-TPU, the C++ host Pippenger beats the XLA device MSM by
         # ~17x; keep XLA as last-resort when the toolchain is absent.
-        self.g2_host = (not self.use_wave) and cext.available()
+        self.g2_host = (not self.use_wave) and E.cext_ok
         if self.use_wave:
             self.b_g2 = encode_points_affine_rows_g2(
                 self.fq, pk.b_g2 + [None] * (self.m_wave - m))

@@ -46,6 +46,15 @@ class Parameters:
     # recorded inputize() linear combinations, one per public input: the
     # compiled witness program derives z_in from these (witness.py)
     inputize_lcs: List[list] = field(default_factory=list)
+    # pairing engine the CRS lives on (the analog of Parameters<E>'s type
+    # parameter, backend/bellman_groth16/engines.rs:4-22)
+    engine: str = "bn256"
+
+    @property
+    def E(self):
+        from ...engines.engine import Engine
+
+        return Engine.get(self.engine)
 
 
 @dataclass

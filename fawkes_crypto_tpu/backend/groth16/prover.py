@@ -18,9 +18,7 @@ from typing import Callable, Optional, Tuple
 import jax.numpy as jnp
 
 from ...circuit.cs import WitnessCS
-from ...engines.bn256 import Fr
 from ...ff.jfield import FieldCtx
-from ...native.bn_pairing import G1_GEN, g_add, g_mul, g_neg
 from ...ops.ntt import NTTCtx
 from ...seedbox import SeedboxChaCha20
 from .params import Parameters, Proof
@@ -28,29 +26,31 @@ from .qap import sparse_matvec
 from .setup import inputize_signal
 
 
-def msm_host(points, scalars, p):
-    """Host MSM: C++ Pippenger when available, pure-Python oracle else
-    (TPU path in ops/msm.py)."""
-    from ...native import cext
-
+def msm_host(points, scalars, p, E=None):
+    """Host MSM: C++ Pippenger when available (BN254), pure-Python oracle
+    else (TPU path in ops/msm.py)."""
+    if E is None:
+        from ...engines.engine import Bn256 as E
+    G = E.g
     scalars = [s % p for s in scalars]
-    if cext.available() and points:
-        from ...native.bn_pairing import Fq2
+    if E.cext_ok and points:
+        from ...native import cext
 
-        is_g2 = any(pt is not None and isinstance(pt[0], Fq2)
+        is_g2 = any(pt is not None and isinstance(pt[0], G.Fq2)
                     for pt in points)
         return (cext.g2_msm if is_g2 else cext.g1_msm)(points, scalars)
     acc = None
     for pt, s in zip(points, scalars):
         if s == 0 or pt is None:
             continue
-        acc = g_add(acc, g_mul(pt, s))
+        acc = G.g_add(acc, G.g_mul(pt, s))
     return acc
 
 
 def compute_h_coeffs(params: Parameters, az, bz, cz) -> list:
     """h(x) = (a(x)b(x) - c(x)) / Z_H(x) coefficients (natural order),
     computed on a multiplicative coset via the TPU NTT."""
+    Fr = params.E.fr
     n = params.r1cs.domain
     p = Fr.p
     fctx = FieldCtx.get(Fr)
@@ -86,7 +86,7 @@ def generate_witness(params: Parameters, input_pub, input_sec,
                      alloc_sec: Callable):
     """Reference-style witness replay (prover.rs:69-74): re-run the circuit
     on WitnessCS with concrete values, consuming recorded const decisions."""
-    wcs = WitnessCS(Fr, params.const_tracker)
+    wcs = WitnessCS(params.E.fr, params.const_tracker)
     signal_pub = alloc_pub(wcs, input_pub)
     inputize_signal(signal_pub)
     signal_sec = alloc_sec(wcs, input_sec)
@@ -137,6 +137,10 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     False -> host oracle path; None -> device for large circuits.
     """
     from ...utils.profiling import StageTimer, device_trace
+
+    E = params.E
+    Fr = E.fr
+    g_add, g_mul, g_neg = E.g.g_add, E.g.g_mul, E.g.g_neg
 
     tm = StageTimer()
     p = Fr.p
@@ -195,14 +199,14 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
         with tm.stage("ntt_h"):
             h = compute_h_coeffs(params, az, bz, cz)
         with tm.stage("msm_a"):
-            a_msm = msm_host(pk.a_g1, z, p)
+            a_msm = msm_host(pk.a_g1, z, p, E)
         with tm.stage("msm_b1"):
-            b1_msm = msm_host(pk.b_g1, z, p)
+            b1_msm = msm_host(pk.b_g1, z, p, E)
         with tm.stage("msm_b2"):
-            b2_msm = msm_host(pk.b_g2, z, p)
+            b2_msm = msm_host(pk.b_g2, z, p, E)
         with tm.stage("msm_lh"):
-            lh_msm = g_add(msm_host(pk.l_g1, aux, p),
-                           msm_host(pk.h_g1, h, p))
+            lh_msm = g_add(msm_host(pk.l_g1, aux, p, E),
+                           msm_host(pk.h_g1, h, p, E))
 
     with tm.stage("host_tail"):
         # A = alpha + sum z_i u_i(tau) + r*delta

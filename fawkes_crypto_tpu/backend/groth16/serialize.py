@@ -22,17 +22,14 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ...native.bn_pairing import (
-    Fq2,
-    P as _FQ_P,
-    g1_is_on_curve,
-    g2_is_on_curve,
-    g2_is_in_subgroup,
-)
 from .params import VK, Parameters, Proof, ProvingKey
 from .qap import R1CS
 
-_FQ_BYTES = 32
+
+def _default_engine():
+    from ...engines.engine import Bn256
+
+    return Bn256
 
 
 class InvalidPoint(ValueError):
@@ -46,100 +43,112 @@ class InvalidPoint(ValueError):
 
 # ---- scalar/point primitives -------------------------------------------------
 
-def _fq_to_bytes(x: int) -> bytes:
-    return int(x).to_bytes(_FQ_BYTES, "little")
+def _fq_to_bytes(x: int, nb: int = 32) -> bytes:
+    return int(x).to_bytes(nb, "little")
 
 
-def _fq_from(buf: memoryview, off: int) -> Tuple[int, int]:
-    return int.from_bytes(bytes(buf[off:off + _FQ_BYTES]), "little"), off + _FQ_BYTES
+def _fq_from(buf: memoryview, off: int, nb: int = 32) -> Tuple[int, int]:
+    return int.from_bytes(bytes(buf[off:off + nb]), "little"), off + nb
 
 
-def g1_to_bytes(p) -> bytes:
+def g1_to_bytes(p, E=None) -> bytes:
+    E = E or _default_engine()
+    nb = E.fq_bytes
     if p is None:
-        return b"\x00" * (2 * _FQ_BYTES)
-    return _fq_to_bytes(p[0]) + _fq_to_bytes(p[1])
+        return b"\x00" * (2 * nb)
+    return _fq_to_bytes(p[0], nb) + _fq_to_bytes(p[1], nb)
 
 
-def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True):
-    x, off = _fq_from(buf, off)
-    y, off = _fq_from(buf, off)
+def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True, E=None):
+    E = E or _default_engine()
+    nb = E.fq_bytes
+    x, off = _fq_from(buf, off, nb)
+    y, off = _fq_from(buf, off, nb)
     if x == 0 and y == 0:
         return None, off
     if check:
-        if x >= _FQ_P or y >= _FQ_P:
+        G = E.g
+        if x >= G.P or y >= G.P:
             raise InvalidPoint("G1 coordinate out of field range")
-        if not g1_is_on_curve((x, y)):
+        if not G.g1_is_on_curve((x, y)):
             raise InvalidPoint("G1 point not on curve")
-        # G1 cofactor is 1: on-curve implies correct subgroup.
+        if E.g1_needs_subgroup_check and not G.g1_is_in_subgroup((x, y)):
+            raise InvalidPoint("G1 point not in the r-order subgroup")
     return (x, y), off
 
 
-def g2_to_bytes(p) -> bytes:
+def g2_to_bytes(p, E=None) -> bytes:
+    E = E or _default_engine()
+    nb = E.fq_bytes
     if p is None:
-        return b"\x00" * (4 * _FQ_BYTES)
+        return b"\x00" * (4 * nb)
     x, y = p
-    return (_fq_to_bytes(x.c0) + _fq_to_bytes(x.c1)
-            + _fq_to_bytes(y.c0) + _fq_to_bytes(y.c1))
+    return (_fq_to_bytes(x.c0, nb) + _fq_to_bytes(x.c1, nb)
+            + _fq_to_bytes(y.c0, nb) + _fq_to_bytes(y.c1, nb))
 
 
 def g2_from_bytes(buf: memoryview, off: int = 0, check: bool = True,
-                  check_subgroup: bool = True):
-    x0, off = _fq_from(buf, off)
-    x1, off = _fq_from(buf, off)
-    y0, off = _fq_from(buf, off)
-    y1, off = _fq_from(buf, off)
+                  check_subgroup: bool = True, E=None):
+    E = E or _default_engine()
+    G = E.g
+    nb = E.fq_bytes
+    x0, off = _fq_from(buf, off, nb)
+    x1, off = _fq_from(buf, off, nb)
+    y0, off = _fq_from(buf, off, nb)
+    y1, off = _fq_from(buf, off, nb)
     if x0 == x1 == y0 == y1 == 0:
         return None, off
     if check:
-        if max(x0, x1, y0, y1) >= _FQ_P:
+        if max(x0, x1, y0, y1) >= G.P:
             raise InvalidPoint("G2 coordinate out of field range")
-        pt = (Fq2(x0, x1), Fq2(y0, y1))
-        if not g2_is_on_curve(pt):
+        pt = (G.Fq2(x0, x1), G.Fq2(y0, y1))
+        if not G.g2_is_on_curve(pt):
             raise InvalidPoint("G2 point not on curve")
-        if check_subgroup and not g2_is_in_subgroup(pt):
+        if check_subgroup and not G.g2_is_in_subgroup(pt):
             raise InvalidPoint("G2 point not in the r-order subgroup")
         return pt, off
-    return (Fq2(x0, x1), Fq2(y0, y1)), off
+    return (G.Fq2(x0, x1), G.Fq2(y0, y1)), off
 
 
 # ---- Proof / VK ----------------------------------------------------------------
 
-def proof_to_bytes(proof: Proof) -> bytes:
-    return g1_to_bytes(proof.a) + g2_to_bytes(proof.b) + g1_to_bytes(proof.c)
+def proof_to_bytes(proof: Proof, E=None) -> bytes:
+    return (g1_to_bytes(proof.a, E) + g2_to_bytes(proof.b, E)
+            + g1_to_bytes(proof.c, E))
 
 
-def proof_from_bytes(data: bytes) -> Proof:
+def proof_from_bytes(data: bytes, E=None) -> Proof:
     buf = memoryview(data)
-    a, off = g1_from_bytes(buf, 0)
-    b, off = g2_from_bytes(buf, off)
-    c, off = g1_from_bytes(buf, off)
+    a, off = g1_from_bytes(buf, 0, E=E)
+    b, off = g2_from_bytes(buf, off, E=E)
+    c, off = g1_from_bytes(buf, off, E=E)
     assert off == len(data), "trailing bytes in proof"
     return Proof(a=a, b=b, c=c)
 
 
-def vk_to_bytes(vk: VK) -> bytes:
+def vk_to_bytes(vk: VK, E=None) -> bytes:
     out = io.BytesIO()
-    out.write(g1_to_bytes(vk.alpha))
-    out.write(g2_to_bytes(vk.beta))
-    out.write(g2_to_bytes(vk.gamma))
-    out.write(g2_to_bytes(vk.delta))
+    out.write(g1_to_bytes(vk.alpha, E))
+    out.write(g2_to_bytes(vk.beta, E))
+    out.write(g2_to_bytes(vk.gamma, E))
+    out.write(g2_to_bytes(vk.delta, E))
     out.write(len(vk.ic).to_bytes(4, "little"))  # borsh Vec<u32 len>
     for pt in vk.ic:
-        out.write(g1_to_bytes(pt))
+        out.write(g1_to_bytes(pt, E))
     return out.getvalue()
 
 
-def vk_from_bytes(data: bytes) -> VK:
+def vk_from_bytes(data: bytes, E=None) -> VK:
     buf = memoryview(data)
-    alpha, off = g1_from_bytes(buf, 0)
-    beta, off = g2_from_bytes(buf, off)
-    gamma, off = g2_from_bytes(buf, off)
-    delta, off = g2_from_bytes(buf, off)
+    alpha, off = g1_from_bytes(buf, 0, E=E)
+    beta, off = g2_from_bytes(buf, off, E=E)
+    gamma, off = g2_from_bytes(buf, off, E=E)
+    delta, off = g2_from_bytes(buf, off, E=E)
     n = int.from_bytes(bytes(buf[off:off + 4]), "little")
     off += 4
     ic = []
     for _ in range(n):
-        pt, off = g1_from_bytes(buf, off)
+        pt, off = g1_from_bytes(buf, off, E=E)
         ic.append(pt)
     assert off == len(data), "trailing bytes in vk"
     return VK(alpha=alpha, beta=beta, gamma=gamma, delta=delta, ic=ic)
@@ -301,38 +310,40 @@ def witness_program_from_bytes(data: bytes):
 
 # ---- Parameters <-> npz ---------------------------------------------------------
 
-def _g1s_to_array(pts: List) -> np.ndarray:
-    out = np.zeros((len(pts), 2 * _FQ_BYTES), dtype=np.uint8)
+def _g1s_to_array(pts: List, E=None) -> np.ndarray:
+    E = E or _default_engine()
+    out = np.zeros((len(pts), 2 * E.fq_bytes), dtype=np.uint8)
     for i, p in enumerate(pts):
-        out[i] = np.frombuffer(g1_to_bytes(p), dtype=np.uint8)
+        out[i] = np.frombuffer(g1_to_bytes(p, E), dtype=np.uint8)
     return out
 
 
-def _g1s_from_array(arr: np.ndarray, check: bool = False) -> List:
-    return [g1_from_bytes(memoryview(row.tobytes()), check=check)[0]
+def _g1s_from_array(arr: np.ndarray, check: bool = False, E=None) -> List:
+    return [g1_from_bytes(memoryview(row.tobytes()), check=check, E=E)[0]
             for row in arr]
 
 
-def _g2s_to_array(pts: List) -> np.ndarray:
-    out = np.zeros((len(pts), 4 * _FQ_BYTES), dtype=np.uint8)
+def _g2s_to_array(pts: List, E=None) -> np.ndarray:
+    E = E or _default_engine()
+    out = np.zeros((len(pts), 4 * E.fq_bytes), dtype=np.uint8)
     for i, p in enumerate(pts):
-        out[i] = np.frombuffer(g2_to_bytes(p), dtype=np.uint8)
+        out[i] = np.frombuffer(g2_to_bytes(p, E), dtype=np.uint8)
     return out
 
 
-def _g2s_from_array(arr: np.ndarray, check: bool = False) -> List:
+def _g2s_from_array(arr: np.ndarray, check: bool = False, E=None) -> List:
     # Subgroup checks on bulk proving-key tables are prohibitively slow in
     # host Python; `check` gates on-curve validation only (bellman's
     # Parameters::read has the same checked/unchecked split, mod.rs:159).
     return [g2_from_bytes(memoryview(row.tobytes()), check=check,
-                          check_subgroup=False)[0]
+                          check_subgroup=False, E=E)[0]
             for row in arr]
 
 
 def _vals_to_array(vals: List[int]) -> np.ndarray:
-    out = np.zeros((len(vals), _FQ_BYTES), dtype=np.uint8)
+    out = np.zeros((len(vals), 32), dtype=np.uint8)
     for i, v in enumerate(vals):
-        out[i] = np.frombuffer(_fq_to_bytes(v), dtype=np.uint8)
+        out[i] = np.frombuffer(_fq_to_bytes(v, 32), dtype=np.uint8)
     return out
 
 
@@ -342,8 +353,10 @@ def _vals_from_array(arr: np.ndarray) -> List[int]:
 
 def write_parameters(path: str, params: Parameters) -> None:
     r = params.r1cs
+    E = params.E
     np.savez_compressed(
         path,
+        engine=np.frombuffer(params.engine.encode(), dtype=np.uint8),
         meta=np.asarray(
             [r.num_input, r.num_aux, r.num_constraints, r.domain,
              params.n_public],
@@ -353,17 +366,17 @@ def write_parameters(path: str, params: Parameters) -> None:
         b_rows=r.b_rows, b_cols=r.b_cols, b_vals=_vals_to_array(r.b_vals),
         c_rows=r.c_rows, c_cols=r.c_cols, c_vals=_vals_to_array(r.c_vals),
         const_tracker=np.asarray(params.const_tracker, dtype=np.bool_),
-        vk=np.frombuffer(vk_to_bytes(params.vk), dtype=np.uint8),
-        pk_alpha_g1=_g1s_to_array([params.pk.alpha_g1]),
-        pk_beta_g1=_g1s_to_array([params.pk.beta_g1]),
-        pk_beta_g2=_g2s_to_array([params.pk.beta_g2]),
-        pk_delta_g1=_g1s_to_array([params.pk.delta_g1]),
-        pk_delta_g2=_g2s_to_array([params.pk.delta_g2]),
-        pk_a_g1=_g1s_to_array(params.pk.a_g1),
-        pk_b_g1=_g1s_to_array(params.pk.b_g1),
-        pk_b_g2=_g2s_to_array(params.pk.b_g2),
-        pk_l_g1=_g1s_to_array(params.pk.l_g1),
-        pk_h_g1=_g1s_to_array(params.pk.h_g1),
+        vk=np.frombuffer(vk_to_bytes(params.vk, E), dtype=np.uint8),
+        pk_alpha_g1=_g1s_to_array([params.pk.alpha_g1], E),
+        pk_beta_g1=_g1s_to_array([params.pk.beta_g1], E),
+        pk_beta_g2=_g2s_to_array([params.pk.beta_g2], E),
+        pk_delta_g1=_g1s_to_array([params.pk.delta_g1], E),
+        pk_delta_g2=_g2s_to_array([params.pk.delta_g2], E),
+        pk_a_g1=_g1s_to_array(params.pk.a_g1, E),
+        pk_b_g1=_g1s_to_array(params.pk.b_g1, E),
+        pk_b_g2=_g2s_to_array(params.pk.b_g2, E),
+        pk_l_g1=_g1s_to_array(params.pk.l_g1, E),
+        pk_h_g1=_g1s_to_array(params.pk.h_g1, E),
         witness_program=np.frombuffer(
             witness_program_to_bytes(params.witness_ops,
                                      params.inputize_lcs),
@@ -377,6 +390,10 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
     point on-curve (bellman's checked read); off by default for speed —
     Proof/VK reads are always validated."""
     z = np.load(path, allow_pickle=False)
+    engine = (z["engine"].tobytes().decode() if "engine" in z else "bn256")
+    from ...engines.engine import Engine
+
+    E = Engine.get(engine)
     num_input, num_aux, num_constraints, domain, n_public = (
         int(v) for v in z["meta"]
     )
@@ -390,18 +407,18 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
         c_rows=z["c_rows"], c_cols=z["c_cols"],
         c_vals=_vals_from_array(z["c_vals"]),
     )
-    vk = vk_from_bytes(z["vk"].tobytes())
+    vk = vk_from_bytes(z["vk"].tobytes(), E)
     pk = ProvingKey(
-        alpha_g1=_g1s_from_array(z["pk_alpha_g1"], checked)[0],
-        beta_g1=_g1s_from_array(z["pk_beta_g1"], checked)[0],
-        beta_g2=_g2s_from_array(z["pk_beta_g2"], checked)[0],
-        delta_g1=_g1s_from_array(z["pk_delta_g1"], checked)[0],
-        delta_g2=_g2s_from_array(z["pk_delta_g2"], checked)[0],
-        a_g1=_g1s_from_array(z["pk_a_g1"], checked),
-        b_g1=_g1s_from_array(z["pk_b_g1"], checked),
-        b_g2=_g2s_from_array(z["pk_b_g2"], checked),
-        l_g1=_g1s_from_array(z["pk_l_g1"], checked),
-        h_g1=_g1s_from_array(z["pk_h_g1"], checked),
+        alpha_g1=_g1s_from_array(z["pk_alpha_g1"], checked, E)[0],
+        beta_g1=_g1s_from_array(z["pk_beta_g1"], checked, E)[0],
+        beta_g2=_g2s_from_array(z["pk_beta_g2"], checked, E)[0],
+        delta_g1=_g1s_from_array(z["pk_delta_g1"], checked, E)[0],
+        delta_g2=_g2s_from_array(z["pk_delta_g2"], checked, E)[0],
+        a_g1=_g1s_from_array(z["pk_a_g1"], checked, E),
+        b_g1=_g1s_from_array(z["pk_b_g1"], checked, E),
+        b_g2=_g2s_from_array(z["pk_b_g2"], checked, E),
+        l_g1=_g1s_from_array(z["pk_l_g1"], checked, E),
+        h_g1=_g1s_from_array(z["pk_h_g1"], checked, E),
     )
     witness_ops, inputize_lcs = {}, []
     if "witness_program" in z:
@@ -412,5 +429,5 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
         vk=vk, pk=pk, r1cs=r1cs,
         const_tracker=[bool(b) for b in z["const_tracker"]],
         witness_ops=witness_ops, n_public=n_public,
-        inputize_lcs=inputize_lcs,
+        inputize_lcs=inputize_lcs, engine=engine,
     )

@@ -12,8 +12,7 @@ import os
 from typing import Callable, Optional
 
 from ...circuit.cs import BuildCS
-from ...engines.bn256 import Fr
-from ...native.bn_pairing import G1_GEN, G2_GEN, R_ORDER, g_mul
+from ...engines.engine import Engine
 from ...seedbox import SeedboxChaCha20
 from .params import VK, Parameters, ProvingKey
 from .qap import eval_qap_at_tau, r1cs_from_cs
@@ -29,25 +28,29 @@ def inputize_signal(sig):
         raise TypeError(f"cannot inputize {type(sig)}")
 
 
-def _sample_toxic(seed: Optional[bytes]):
+def _sample_toxic(seed: Optional[bytes], fr):
     """tau, alpha, beta, gamma, delta. Seeded (deterministic) or OS-random."""
     if seed is None:
         seed = os.urandom(32)
     sb = SeedboxChaCha20(b"groth16_setup" + seed)
     out = []
     while len(out) < 5:
-        v = sb.gen_num(Fr).x
+        v = sb.gen_num(fr).x
         if v != 0:
             out.append(v)
     return out
 
 
 def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
-          seed: Optional[bytes] = None) -> Parameters:
+          seed: Optional[bytes] = None, engine: str = "bn256") -> Parameters:
     """Trace the circuit symbolically, build the CRS.
 
     circuit(pub_signal, sec_signal); alloc_pub/alloc_sec(cs, value_or_None).
+    engine: pairing engine name ("bn256" | "bls12_381") — the analog of the
+    reference's Parameters<E> type parameter (engines.rs:4-22).
     """
+    E = Engine.get(engine)
+    Fr = E.fr
     cs = BuildCS(Fr)
     signal_pub = alloc_pub(cs, None)
     inputize_signal(signal_pub)
@@ -59,26 +62,27 @@ def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
     p = Fr.p
     omega = pow(Fr.root_of_unity, 1 << (Fr.s - (n.bit_length() - 1)), p)
 
-    tau, alpha, beta, gamma, delta = _sample_toxic(seed)
+    tau, alpha, beta, gamma, delta = _sample_toxic(seed, Fr)
     u, v, w, z_tau = eval_qap_at_tau(r1cs, tau, p, omega)
 
     gamma_inv = pow(gamma, -1, p)
     delta_inv = pow(delta, -1, p)
 
-    from ...native import cext
+    G = E.g
+    if E.cext_ok:
+        from ...native import cext
 
-    if cext.available():
         def g1(s):
-            return cext.g1_mul(G1_GEN, s % p)
+            return cext.g1_mul(G.G1_GEN, s % p)
 
         def g2(s):
-            return cext.g2_mul(G2_GEN, s % p)
+            return cext.g2_mul(G.G2_GEN, s % p)
     else:
         def g1(s):
-            return g_mul(G1_GEN, s % p)
+            return G.g_mul(G.G1_GEN, s % p)
 
         def g2(s):
-            return g_mul(G2_GEN, s % p)
+            return G.g_mul(G.G2_GEN, s % p)
 
     num_input = r1cs.num_input
     m = r1cs.num_wires
@@ -110,4 +114,5 @@ def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
         witness_ops=dict(cs.witness_ops),
         n_public=num_input - 1,
         inputize_lcs=[list(lc) for lc in cs.inputize_lcs],
+        engine=engine,
     )

@@ -9,30 +9,35 @@ from __future__ import annotations
 
 from typing import List
 
-from ...engines.bn256 import Fr
-from ...native.bn_pairing import g_add, g_mul, g_neg, multi_pairing
 from .params import VK, Proof
 
 
-def verify(vk: VK, proof: Proof, inputs: List[int]) -> bool:
+def verify(vk: VK, proof: Proof, inputs: List[int],
+           engine: str = "bn256") -> bool:
+    from ...engines.engine import Engine
+
+    E = Engine.get(engine)
+    G = E.g
+    Fr = E.fr
     if len(inputs) + 1 != len(vk.ic):
         return False
-    from ...native import cext
 
     xs = [x.x if hasattr(x, "x") else x % Fr.p for x in inputs]
-    if cext.available():
+    if E.cext_ok:
+        from ...native import cext
+
         acc = cext.g1_msm(vk.ic, [1] + xs)
         return cext.pairing_is_one([
-            (g_neg(proof.a), proof.b),
+            (G.g_neg(proof.a), proof.b),
             (vk.alpha, vk.beta),
             (acc, vk.gamma),
             (proof.c, vk.delta),
         ])
     acc = vk.ic[0]
     for x, pt in zip(xs, vk.ic[1:]):
-        acc = g_add(acc, g_mul(pt, x % Fr.p))
-    out = multi_pairing([
-        (g_neg(proof.a), proof.b),
+        acc = G.g_add(acc, G.g_mul(pt, x % Fr.p))
+    out = G.multi_pairing([
+        (G.g_neg(proof.a), proof.b),
         (vk.alpha, vk.beta),
         (acc, vk.gamma),
         (proof.c, vk.delta),

@@ -25,12 +25,11 @@ from __future__ import annotations
 from typing import Callable, List, Tuple
 
 from ...circuit.lc import AUX_BASE
-from ...engines.bn256 import Fr
 from ...ff.hostfield import Num
 from .params import Parameters
 
 
-def _flatten_values(sig) -> List[int]:
+def _flatten_values(sig, p) -> List[int]:
     """Signal values in allocation order (mirrors how alloc_pub/alloc_sec
     traverse composite signals)."""
     if sig is None:
@@ -40,18 +39,18 @@ def _flatten_values(sig) -> List[int]:
     if isinstance(sig, bool):
         return [int(sig)]
     if isinstance(sig, int):
-        return [sig % Fr.p]
+        return [sig % p]
     if isinstance(sig, (tuple, list)):
         out = []
         for s in sig:
-            out.extend(_flatten_values(s))
+            out.extend(_flatten_values(s, p))
         return out
     # composite signals (EdwardsPoint, MerkleProof, ...) expose their parts
     for attrs in (("x", "y"), ("sibling", "path")):
         if all(hasattr(sig, a) for a in attrs):
             out = []
             for a in attrs:
-                out.extend(_flatten_values(getattr(sig, a)))
+                out.extend(_flatten_values(getattr(sig, a), p))
             return out
     raise TypeError(f"cannot flatten signal value {type(sig)}")
 
@@ -61,6 +60,7 @@ class WitnessProgram:
 
     def __init__(self, params: Parameters):
         self.params = params
+        self.fr = params.E.fr
         self.num_aux = params.r1cs.num_aux
         # normalize: list of (first_out_aux_index, op) sorted by evaluation
         # order; hint ops claim a contiguous block of outs
@@ -80,7 +80,7 @@ class WitnessProgram:
         self.external = [i for i in range(self.num_aux) if i not in covered]
 
     def _lc_eval(self, lc, z_in, z_aux) -> int:
-        p = Fr.p
+        p = self.fr.p
         acc = 0
         for coeff, idx in lc:
             v = z_aux[idx - AUX_BASE] if idx >= AUX_BASE else z_in[idx]
@@ -90,8 +90,9 @@ class WitnessProgram:
     def evaluate(self, input_pub, input_sec) -> Tuple[List[int], List[int]]:
         """Returns (inputs, aux) — same contract as the WitnessCS replay
         (prover.generate_witness)."""
-        p = Fr.p
-        ext_vals = _flatten_values(input_pub) + _flatten_values(input_sec)
+        p = self.fr.p
+        ext_vals = (_flatten_values(input_pub, p)
+                    + _flatten_values(input_sec, p))
         assert len(ext_vals) == len(self.external), (
             f"external wires {len(self.external)} != provided {len(ext_vals)}"
         )
@@ -120,7 +121,8 @@ class WitnessProgram:
                 from ...circuit.hints import resolve_hint
 
                 name, meta = op.aux
-                ins = [Num(Fr, self._lc_eval(lc, z_in, z_aux)) for lc in op.a]
+                ins = [Num(self.fr, self._lc_eval(lc, z_in, z_aux))
+                       for lc in op.a]
                 outs = resolve_hint(name)(meta, ins)
                 if not isinstance(outs, (tuple, list)):
                     outs = (outs,)
