@@ -39,10 +39,16 @@ class DeviceProver:
     def __init__(self, params):
         self.params = params
         E = params.E
+        self.E = E
         Fq, Fr = E.fq, E.fr
         self.fq = FieldCtx.get(Fq)
         self.fr = FieldCtx.get(Fr)
         self.qq = QuadCtx.get(Fq)
+        # engine threading (round-2 ADVICE high): every device MSM uses the
+        # engine's scalar width and host group module, so BLS12-381 circuits
+        # on the device path stay on their own curve
+        sbits = E.scalar_bits
+        grp = E.g
         r1cs = params.r1cs
         pk = params.pk
         n = r1cs.domain
@@ -77,6 +83,8 @@ class DeviceProver:
                 self.fq, h_br_pts + [None] * (wpad(n) - n))
 
             def wave(size, **kw):
+                kw.setdefault("scalar_bits", sbits)
+                kw.setdefault("group", grp)
                 return (MSMWave(self.fq, size, c=12, v=8, **kw)
                         if size >= (1 << 18)
                         else MSMWave(self.fq, size, **kw))
@@ -96,11 +104,12 @@ class DeviceProver:
             self.b_g1 = encode_points_g1(self.fq, pk.b_g1 + pad_w)
             self.l_g1 = encode_points_g1(self.fq, pk.l_g1 + pad_a)
             self.h_g1 = encode_points_g1(self.fq, h_br_pts)
-            self.msm_w_g1 = MSMCtx(self.fq, self.m_pad)
+            self.msm_w_g1 = MSMCtx(self.fq, self.m_pad, scalar_bits=sbits)
             self.msm_aux = (self.msm_w_g1 if self.aux_pad == self.m_pad
-                            else MSMCtx(self.fq, self.aux_pad))
+                            else MSMCtx(self.fq, self.aux_pad,
+                                        scalar_bits=sbits))
             self.msm_h = (self.msm_w_g1 if n == self.m_pad
-                          else MSMCtx(self.fq, n))
+                          else MSMCtx(self.fq, n, scalar_bits=sbits))
 
         # G2 B-query (the single most expensive MSM of the proof,
         # VERDICT round-1 item #1): on TPU it rides the same wave
@@ -111,17 +120,14 @@ class DeviceProver:
         if self.use_wave:
             self.b_g2 = encode_points_affine_rows_g2(
                 self.fq, pk.b_g2 + [None] * (self.m_wave - m))
-            self.msm_w_g2 = (MSMWave(self.fq, self.m_wave, c=12, v=8,
-                                     g2=True)
-                             if self.m_wave >= (1 << 18)
-                             else MSMWave(self.fq, self.m_wave, g2=True))
+            self.msm_w_g2 = wave(self.m_wave, g2=True)
         elif self.g2_host:
             self.b_g2_pts = list(pk.b_g2)
             self.b_g2 = None
             self.msm_w_g2 = None
         else:
             self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
-            self.msm_w_g2 = MSMCtx(self.qq, self.m_pad)
+            self.msm_w_g2 = MSMCtx(self.qq, self.m_pad, scalar_bits=sbits)
 
         # az/bz/cz sparse products (rows padded straight into the domain)
         self.spmv_a = SpMV(self.fr, r1cs.a_rows, r1cs.a_cols, r1cs.a_vals,
@@ -131,40 +137,74 @@ class DeviceProver:
         self.spmv_c = SpMV(self.fr, r1cs.c_rows, r1cs.c_cols, r1cs.c_vals,
                            n, m)
 
-        # h-polynomial NTT pipeline constants (limbs-first Pallas NTT,
-        # ops/lntt.py; the batch-last NTTCtx remains for small/CPU paths)
+        # h-polynomial NTT pipeline constants. On TPU: limbs-first Pallas
+        # NTT (ops/lntt.py). Off-TPU (the virtual-CPU test mesh) the
+        # interpret-mode Pallas compile is minutes-slow, so the XLA NTT
+        # (batch-last NTTCtx) serves the same pipeline instead.
         self.ntt = NTTCtx.get(self.fr, n)
-        self.lntt = LNTTCtx.get(self.fr, n)
         g = Fr.generator
         p = Fr.p
-        self.gp_lf = to_lf(self.ntt.shift_pows_br(g))
-        self.ginvp_lf = to_lf(self.ntt.shift_pows_br(pow(g, -1, p)))
-        self.zinv_lf = jnp.broadcast_to(
-            to_lf(self.fr.const(pow(pow(g, n, p) - 1, -1, p))[None, :]),
-            (self.fr.k, n),
-        )
+        gp = self.ntt.shift_pows_br(g)
+        ginvp = self.ntt.shift_pows_br(pow(g, -1, p))
+        zinv = pow(pow(g, n, p) - 1, -1, p)
+        if self.use_wave:
+            self.lntt = LNTTCtx.get(self.fr, n)
+            self.gp_lf = to_lf(gp)
+            self.ginvp_lf = to_lf(ginvp)
+            self.zinv_lf = jnp.broadcast_to(
+                to_lf(self.fr.const(zinv)[None, :]), (self.fr.k, n),
+            )
+        else:
+            self.gp_xla = gp
+            self.ginvp_xla = ginvp
+            self.zinv_xla = jnp.broadcast_to(
+                self.fr.const(zinv), (n, self.fr.k))
 
     # ---- QAP h(x) ----------------------------------------------------------
     def h_scalars_br(self, z_mont) -> jnp.ndarray:
         """Witness z (num_wires, K) Montgomery on device -> h coefficients as
         canonical limbs in bit-reversed order, (N, K). Entirely on device:
-        sparse matvecs, limbs-first iNTT/coset/NTT pipeline, pointwise
-        combine — every Montgomery product rides the Pallas kernel."""
-        lntt = self.lntt
+        sparse matvecs, iNTT/coset/NTT pipeline, pointwise combine — the
+        limbs-first Pallas kernels on TPU, the XLA NTT elsewhere."""
+        if self.use_wave:
+            lntt = self.lntt
 
-        def pipeline(z):
-            az = self.spmv_a.apply(z)
-            bz = self.spmv_b.apply(z)
-            cz = self.spmv_c.apply(z)
+            def pipeline(z):
+                az = self.spmv_a.apply(z)
+                bz = self.spmv_b.apply(z)
+                cz = self.spmv_c.apply(z)
 
-            def coset(x):
-                cbr = lntt.evals_to_coeffs_br(to_lf(x))
-                return lntt.coeffs_br_to_evals(lntt.mul(cbr, self.gp_lf))
+                def coset(x):
+                    cbr = lntt.evals_to_coeffs_br(to_lf(x))
+                    return lntt.coeffs_br_to_evals(
+                        lntt.mul(cbr, self.gp_lf))
 
-            ea, eb, ec = coset(az), coset(bz), coset(cz)
-            h_ev = lntt.mul(lntt.sub(lntt.mul(ea, eb), ec), self.zinv_lf)
-            h_br = lntt.mul(lntt.evals_to_coeffs_br(h_ev), self.ginvp_lf)
-            return from_lf(lntt.from_mont(h_br))  # canonical limbs, MSM-ready
+                ea, eb, ec = coset(az), coset(bz), coset(cz)
+                h_ev = lntt.mul(lntt.sub(lntt.mul(ea, eb), ec),
+                                self.zinv_lf)
+                h_br = lntt.mul(lntt.evals_to_coeffs_br(h_ev),
+                                self.ginvp_lf)
+                # canonical limbs, MSM-ready
+                return from_lf(lntt.from_mont(h_br))
+        else:
+            ntt, fr = self.ntt, self.fr
+
+            def pipeline(z):
+                az = self.spmv_a.apply(z)
+                bz = self.spmv_b.apply(z)
+                cz = self.spmv_c.apply(z)
+
+                def coset(x):
+                    cbr = ntt.evals_to_coeffs_br(x)
+                    return ntt.coeffs_br_to_evals(
+                        fr.mont_mul(cbr, self.gp_xla))
+
+                ea, eb, ec = coset(az), coset(bz), coset(cz)
+                h_ev = fr.mont_mul(
+                    fr.sub(fr.mont_mul(ea, eb), ec), self.zinv_xla)
+                h_br = fr.mont_mul(ntt.evals_to_coeffs_br(h_ev),
+                                   self.ginvp_xla)
+                return fr.from_mont(h_br)
 
         if not hasattr(self, "_jit_pipeline"):
             self._jit_pipeline = jax.jit(pipeline)
@@ -204,7 +244,8 @@ class DeviceProver:
                 b2 = cext.g2_msm(self.b_g2_pts, z)
             else:
                 b2 = decode_point_g2(
-                    self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad)
+                    self.qq, self.msm_w_g2.jit_msm(self.b_g2, z_sc_pad),
+                    group=self.E.g,
                 )
         aux_sc = encode_scalars(aux, self.aux_pad, k)
         with tm.stage("msm_a"):

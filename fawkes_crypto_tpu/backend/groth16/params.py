@@ -19,6 +19,11 @@ class VK:
     gamma: Any  # G2
     delta: Any  # G2
     ic: List[Any]  # G1 per public input (incl. the ONE wire)
+    # pairing engine the key lives on; carried through (de)serialization so
+    # verify() is self-configuring and a curve mismatch errors loudly
+    # instead of silently returning False (reference Parameters<E> carries
+    # the engine in its type, backend/bellman_groth16/engines.rs:4-22)
+    engine: str = "bn256"
 
 
 @dataclass

@@ -59,7 +59,8 @@ def g1_to_bytes(p, E=None) -> bytes:
     return _fq_to_bytes(p[0], nb) + _fq_to_bytes(p[1], nb)
 
 
-def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True, E=None):
+def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True,
+                  check_subgroup: bool = True, E=None):
     E = E or _default_engine()
     nb = E.fq_bytes
     x, off = _fq_from(buf, off, nb)
@@ -72,7 +73,8 @@ def g1_from_bytes(buf: memoryview, off: int = 0, check: bool = True, E=None):
             raise InvalidPoint("G1 coordinate out of field range")
         if not G.g1_is_on_curve((x, y)):
             raise InvalidPoint("G1 point not on curve")
-        if E.g1_needs_subgroup_check and not G.g1_is_in_subgroup((x, y)):
+        if (check_subgroup and E.g1_needs_subgroup_check
+                and not G.g1_is_in_subgroup((x, y))):
             raise InvalidPoint("G1 point not in the r-order subgroup")
     return (x, y), off
 
@@ -122,7 +124,8 @@ def proof_from_bytes(data: bytes, E=None) -> Proof:
     a, off = g1_from_bytes(buf, 0, E=E)
     b, off = g2_from_bytes(buf, off, E=E)
     c, off = g1_from_bytes(buf, off, E=E)
-    assert off == len(data), "trailing bytes in proof"
+    if off != len(data):
+        raise InvalidPoint("trailing bytes in proof")
     return Proof(a=a, b=b, c=c)
 
 
@@ -146,12 +149,17 @@ def vk_from_bytes(data: bytes, E=None) -> VK:
     delta, off = g2_from_bytes(buf, off, E=E)
     n = int.from_bytes(bytes(buf[off:off + 4]), "little")
     off += 4
+    nb2 = 2 * (E or _default_engine()).fq_bytes
+    if len(data) - off != n * nb2:
+        raise InvalidPoint("vk ic payload length mismatch")
     ic = []
     for _ in range(n):
         pt, off = g1_from_bytes(buf, off, E=E)
         ic.append(pt)
-    assert off == len(data), "trailing bytes in vk"
-    return VK(alpha=alpha, beta=beta, gamma=gamma, delta=delta, ic=ic)
+    if off != len(data):
+        raise InvalidPoint("trailing bytes in vk")
+    return VK(alpha=alpha, beta=beta, gamma=gamma, delta=delta, ic=ic,
+              engine=(E or _default_engine()).name)
 
 
 # ---- witness program <-> bytes -------------------------------------------------
@@ -319,7 +327,12 @@ def _g1s_to_array(pts: List, E=None) -> np.ndarray:
 
 
 def _g1s_from_array(arr: np.ndarray, check: bool = False, E=None) -> List:
-    return [g1_from_bytes(memoryview(row.tobytes()), check=check, E=E)[0]
+    # Bulk proving-key reads validate on-curve only: a scalar-mul subgroup
+    # check per point is prohibitively slow in host Python at CRS sizes
+    # (same checked/unchecked split as the G2 tables and bellman's
+    # Parameters::read, mod.rs:159). Proof/VK reads keep the full check.
+    return [g1_from_bytes(memoryview(row.tobytes()), check=check,
+                          check_subgroup=False, E=E)[0]
             for row in arr]
 
 

@@ -102,7 +102,8 @@ def setup(circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
         h_g1.append(g1(acc))
         acc = acc * tau % p
 
-    vk = VK(alpha=g1(alpha), beta=g2(beta), gamma=g2(gamma), delta=g2(delta), ic=ic)
+    vk = VK(alpha=g1(alpha), beta=g2(beta), gamma=g2(gamma),
+            delta=g2(delta), ic=ic, engine=engine)
     pk = ProvingKey(
         alpha_g1=g1(alpha), beta_g1=g1(beta), beta_g2=g2(beta),
         delta_g1=g1(delta), delta_g2=g2(delta),

@@ -3,20 +3,30 @@
 Mirrors /root/reference/fawkes-crypto/src/backend/bellman_groth16/verifier.rs:75-81
 with bellman's pairing replaced by native/bn_pairing (single shared final
 exponentiation over the 4-pairing product).
+
+The engine is derived from the VK artifact (VK.engine, set at setup and
+carried through vk_from_bytes) so the curve cannot be mismatched silently;
+an explicit `engine=` argument must agree with the VK or verify() raises.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from .params import VK, Proof
 
 
 def verify(vk: VK, proof: Proof, inputs: List[int],
-           engine: str = "bn256") -> bool:
+           engine: Optional[str] = None) -> bool:
     from ...engines.engine import Engine
 
-    E = Engine.get(engine)
+    vk_engine = getattr(vk, "engine", None) or "bn256"
+    if engine is not None and engine != vk_engine:
+        raise ValueError(
+            f"engine mismatch: verify(engine={engine!r}) but the VK is on "
+            f"{vk_engine!r}"
+        )
+    E = Engine.get(vk_engine)
     G = E.g
     Fr = E.fr
     if len(inputs) + 1 != len(vk.ic):
@@ -43,3 +53,9 @@ def verify(vk: VK, proof: Proof, inputs: List[int],
         (proof.c, vk.delta),
     ])
     return out.is_one()
+
+
+def verify_params(params, proof: Proof, inputs: List[int]) -> bool:
+    """Engine-safe convenience: verify against a Parameters' own VK and
+    engine (the read-side analog of bellman's typed Parameters<E>)."""
+    return verify(params.vk, proof, inputs, engine=params.engine)

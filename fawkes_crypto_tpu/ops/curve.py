@@ -183,9 +183,11 @@ def decode_point_g1(fctx, pt: Point):
     return (xi * zinv * zinv % p, yi * zinv * zinv % p * zinv % p)
 
 
-def decode_point_g2(qctx, pt: Point):
+def decode_point_g2(qctx, pt: Point, group=None):
     p = qctx.fld.p
-    from ..native.bn_pairing import Fq2
+    if group is None:
+        from ..native import bn_pairing as group
+    Fq2 = group.Fq2
 
     x, y, z = (np.asarray(c).reshape(1, 2, -1) for c in pt)
     z0, z1 = qctx.decode(z)[0]

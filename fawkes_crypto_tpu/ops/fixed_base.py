@@ -51,8 +51,10 @@ class FixedBase:
     """Compiled fixed-base multiplier for one (base point, batch n)."""
 
     def __init__(self, fctx: FieldCtx, base, n: int, g2: bool = False,
-                 scalar_bits: int = 254, c: int = LIMB_BITS):
-        from ..native.bn_pairing import g_add
+                 scalar_bits: int = 254, c: int = LIMB_BITS, group=None):
+        if group is None:
+            from ..native import bn_pairing as group
+        g_add = group.g_add
 
         self.fctx = fctx
         self.g2 = g2

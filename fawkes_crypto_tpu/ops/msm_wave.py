@@ -90,9 +90,12 @@ def encode_points_affine_rows_g2(fctx: FieldCtx, pts) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def decode_points_lf_g2(fctx: FieldCtx, arr) -> list:
-    """(6K, N) device Fq2-Jacobian -> list of affine (Fq2, Fq2) or None."""
-    from ..native.bn_pairing import Fq2
+def decode_points_lf_g2(fctx: FieldCtx, arr, group=None) -> list:
+    """(6K, N) device Fq2-Jacobian -> list of affine (Fq2, Fq2) or None.
+    `group` is the engine's host group module (defaults to BN254)."""
+    if group is None:
+        from ..native import bn_pairing as group
+    Fq2 = group.Fq2
 
     k = fctx.k
     a = np.asarray(jax.device_get(arr))
@@ -121,7 +124,14 @@ class MSMWave:
     (VERDICT round-1 item #1)."""
 
     def __init__(self, fctx: FieldCtx, n: int, c: int = 8, v: int = 32,
-                 scalar_bits: int = 254, g2: bool = False):
+                 scalar_bits: int = 254, g2: bool = False, group=None):
+        # host group module for the tail arithmetic (Horner, chunk
+        # accumulation); BN254 by default, pass E.g for other engines so
+        # the device path never reduces mod the wrong prime
+        # (round-2 VERDICT weak #4 / ADVICE high).
+        if group is None:
+            from ..native import bn_pairing as group
+        self.group = group
         self.fctx = fctx
         self.g2 = g2
         self.pf = (PQuadField.get(fctx.fld) if g2 else PField.get(fctx.fld))
@@ -320,11 +330,14 @@ class MSMWave:
     def window_sums(self, points_rows, scalars):
         return self._window_sums(points_rows, scalars)
 
+    @property
+    def _is_bn(self) -> bool:
+        return self.group.__name__.endswith("bn_pairing")
+
     def _horner(self, window_pts):
         """Host finish: sum_w 2^(c*w) * W_w, Horner over ~22 points."""
+        g_add, g_mul = self.group.g_add, self.group.g_mul
         if self.g2:
-            from ..native.bn_pairing import g_add, g_mul
-
             acc = None
             for wpt in reversed(window_pts):
                 if acc is not None:
@@ -333,9 +346,8 @@ class MSMWave:
                     acc = g_add(acc, wpt)
             return acc
         from ..native import cext
-        from ..native.bn_pairing import g_add, g_mul
 
-        use_c = cext.available()
+        use_c = self._is_bn and cext.available()
         acc = None
         for wpt in reversed(window_pts):
             if acc is not None:
@@ -353,7 +365,7 @@ class MSMWave:
         accumulates the per-chunk window sums on the host (W tiny). This
         is the streamed-CRS shape of SURVEY.md §7 hard part 7: peak HBM
         is one chunk's sort arrays + state, not the whole table's."""
-        from ..native.bn_pairing import g_add
+        g_add = self.group.g_add
 
         n_total = points_rows.shape[0]
         assert n_total % self.n == 0, "table must be a multiple of chunk n"
@@ -361,8 +373,8 @@ class MSMWave:
         for i in range(0, n_total, self.n):
             tw = self._window_sums(points_rows[i:i + self.n],
                                    scalars[i:i + self.n])
-            pts = (decode_points_lf_g2(self.fctx, tw) if self.g2
-                   else decode_points_lf(self.fctx, tw))
+            pts = (decode_points_lf_g2(self.fctx, tw, self.group)
+                   if self.g2 else decode_points_lf(self.fctx, tw))
             for w_ in range(self.w):
                 if pts[w_] is not None:
                     acc[w_] = g_add(acc[w_], pts[w_])
@@ -373,6 +385,6 @@ class MSMWave:
         canonical 16-bit limbs. Returns the affine point (or None) on
         the host: (x, y) ints for G1, (Fq2, Fq2) for G2."""
         tw = self._window_sums(points_rows, scalars)
-        window_pts = (decode_points_lf_g2(self.fctx, tw) if self.g2
-                      else decode_points_lf(self.fctx, tw))
+        window_pts = (decode_points_lf_g2(self.fctx, tw, self.group)
+                      if self.g2 else decode_points_lf(self.fctx, tw))
         return self._horner(window_pts)

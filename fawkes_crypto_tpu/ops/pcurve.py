@@ -413,6 +413,93 @@ class PCurve:
         return run
 
     @functools.cached_property
+    def madd_affine_fast_packed(self):
+        """madd_affine_fast variant reading points in point-major packed
+        blocks: pts (M, 2K, 128) — limb i's tile is pts[:, i, :]. This is
+        the layout the wave2 gather pipeline produces (ops/msm_wave2.py)
+        without any XLA transpose of the gathered rows."""
+        k, sub = self.k, self.sub
+
+        def kernel(s_ref, p_ref, m_ref, o_ref, f_ref):
+            s = self._point_from_ref(s_ref)
+            x2 = [p_ref[:, i, :] for i in range(k)]
+            y2 = [p_ref[:, k + i, :] for i in range(k)]
+            x3, y3, z3, need_dbl = _ec_madd_affine_fast_lists(
+                self.pf, s, x2, y2)
+            valid = m_ref[:] > 0
+            out = (
+                self.pf.f_select(valid, x3, s[0]),
+                self.pf.f_select(valid, y3, s[1]),
+                self.pf.f_select(valid, z3, s[2]),
+            )
+            self._point_to_ref(o_ref, out)
+            f_ref[:] = jnp.where(need_dbl & valid, 1, 0).astype(jnp.uint32)
+
+        @jax.jit
+        def run(state, pts, valid):
+            m = state.shape[1]
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
+                                memory_space=pltpu.VMEM)
+            pspec = pl.BlockSpec((sb, 2 * k, 128), lambda g: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct(state.shape, state.dtype),
+                    jax.ShapeDtypeStruct(valid.shape, jnp.uint32),
+                ),
+                grid=(m // sb,),
+                in_specs=[spec, pspec, mspec],
+                out_specs=(spec, mspec),
+                interpret=_interpret(),
+            )(state, pts, valid)
+
+        return run
+
+    @functools.cached_property
+    def madd_affine_masked_packed(self):
+        """Unified (doubling-capable) mixed add over point-major packed
+        blocks — the collision-wave fallback for madd_affine_fast_packed."""
+        k, sub = self.k, self.sub
+
+        def kernel(s_ref, p_ref, m_ref, o_ref):
+            s = self._point_from_ref(s_ref)
+            x2 = [p_ref[:, i, :] for i in range(k)]
+            y2 = [p_ref[:, k + i, :] for i in range(k)]
+            x3, y3, z3 = _ec_madd_affine_lists(self.pf, s, x2, y2)
+            valid = m_ref[:] > 0
+            out = (
+                self.pf.f_select(valid, x3, s[0]),
+                self.pf.f_select(valid, y3, s[1]),
+                self.pf.f_select(valid, z3, s[2]),
+            )
+            self._point_to_ref(o_ref, out)
+
+        @jax.jit
+        def run(state, pts, valid):
+            m = state.shape[1]
+            sb = min(sub, m)
+            spec = pl.BlockSpec((3 * k, sb, 128), lambda g: (0, g, 0),
+                                memory_space=pltpu.VMEM)
+            pspec = pl.BlockSpec((sb, 2 * k, 128), lambda g: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            mspec = pl.BlockSpec((sb, 128), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
+                grid=(m // sb,),
+                in_specs=[spec, pspec, mspec],
+                out_specs=spec,
+                interpret=_interpret(),
+            )(state, pts, valid)
+
+        return run
+
+    @functools.cached_property
     def dbl(self):
         """(3K, M, 128) -> doubled points."""
         k, sub = self.k, self.sub

