@@ -60,34 +60,65 @@ class DeviceProver:
         # Pallas wave MSM needs a real TPU (Mosaic); the XLA MSM covers the
         # virtual-CPU test mesh.
         self.use_wave = jax.default_backend() == "tpu"
-        h_nat = pk.h_g1 + [None] * (n - len(pk.h_g1))
+        from .params import G1Rows
+
+        def enc_rows(q, size, g2=False):
+            """Query -> padded (size, 2K|4K) device rows. G1Rows/G2Rows
+            (device-generated CRS, setup.py _device_queries) upload
+            directly — they already ARE the wave-table format."""
+            if isinstance(q, G1Rows):
+                r = q.rows
+                return jnp.asarray(np.pad(
+                    r, ((0, size - r.shape[0]), (0, 0))))
+            enc = (encode_points_affine_rows_g2 if g2
+                   else encode_points_affine_rows)
+            return enc(self.fq, list(q) + [None] * (size - len(q)))
+
+        def as_pts(q):
+            return q.to_points() if isinstance(q, G1Rows) else q
+
         rev = bitrev_permutation(n)
-        h_br_pts = [h_nat[rev[i]] for i in range(n)]
+        if isinstance(pk.h_g1, G1Rows):
+            hr = pk.h_g1.rows
+            if hr.shape[0] < n:
+                hr = np.pad(hr, ((0, n - hr.shape[0]), (0, 0)))
+            h_br_pts = G1Rows(hr[rev], pk.h_g1.fld)
+        else:
+            h_nat = pk.h_g1 + [None] * (n - len(pk.h_g1))
+            h_br_pts = [h_nat[rev[i]] for i in range(n)]
         if self.use_wave:
             # Wave sizes round up to a power of two (identity rows, zero
             # scalars) so the expensive Mosaic kernel compiles are shared
-            # across circuits — the compile cache keys on shapes.
+            # across circuits — the compile cache keys on shapes. Above
+            # 2^18, pow2 padding could nearly double the MSM (a 4.2M-wire
+            # rollup would pad to 2^23), so round to 2^16 multiples
+            # instead and let the persistent compile cache absorb the
+            # larger shape space.
             def wpad(size):
-                return max(1 << (size - 1).bit_length(), 1024)
+                if size <= (1 << 18):
+                    return max(1 << (size - 1).bit_length(), 1024)
+                return -(-size // (1 << 16)) * (1 << 16)
 
             self.m_wave = wpad(m)
             self.aux_wave = wpad(r1cs.num_aux)
-            pad_mw = [None] * (self.m_wave - m)
             # G1 queries: affine row tables for the Pallas wave MSM
-            self.a_g1 = encode_points_affine_rows(self.fq, pk.a_g1 + pad_mw)
-            self.b_g1 = encode_points_affine_rows(self.fq, pk.b_g1 + pad_mw)
-            self.l_g1 = encode_points_affine_rows(
-                self.fq,
-                pk.l_g1 + [None] * (self.aux_wave - r1cs.num_aux))
-            self.h_g1 = encode_points_affine_rows(
-                self.fq, h_br_pts + [None] * (wpad(n) - n))
+            self.a_g1 = enc_rows(pk.a_g1, self.m_wave)
+            self.b_g1 = enc_rows(pk.b_g1, self.m_wave)
+            self.l_g1 = enc_rows(pk.l_g1, self.aux_wave)
+            self.h_g1 = enc_rows(h_br_pts, wpad(n))
 
             def wave(size, **kw):
                 kw.setdefault("scalar_bits", sbits)
                 kw.setdefault("group", grp)
-                return (MSMWave(self.fq, size, c=12, v=8, **kw)
-                        if size >= (1 << 18)
-                        else MSMWave(self.fq, size, **kw))
+                if size >= (1 << 18):
+                    # packed-gather schedule: ~1.3x the row-gather wave
+                    # at 2^22 (scripts/scan_wave2.py); G1 only until the
+                    # G2 packed path is chip-validated
+                    from ...ops.msm_wave2 import MSMWave2
+
+                    cls = MSMWave if kw.get("g2") else MSMWave2
+                    return cls(self.fq, size, c=12, v=8, **kw)
+                return MSMWave(self.fq, size, **kw)
 
             self.n_wave = wpad(n)
             self.msm_w_g1 = wave(self.m_wave)
@@ -100,10 +131,10 @@ class DeviceProver:
 
             self.aux_pad = pad_msm_size(r1cs.num_aux)
             pad_a = [None] * (self.aux_pad - r1cs.num_aux)
-            self.a_g1 = encode_points_g1(self.fq, pk.a_g1 + pad_w)
-            self.b_g1 = encode_points_g1(self.fq, pk.b_g1 + pad_w)
-            self.l_g1 = encode_points_g1(self.fq, pk.l_g1 + pad_a)
-            self.h_g1 = encode_points_g1(self.fq, h_br_pts)
+            self.a_g1 = encode_points_g1(self.fq, as_pts(pk.a_g1) + pad_w)
+            self.b_g1 = encode_points_g1(self.fq, as_pts(pk.b_g1) + pad_w)
+            self.l_g1 = encode_points_g1(self.fq, as_pts(pk.l_g1) + pad_a)
+            self.h_g1 = encode_points_g1(self.fq, as_pts(h_br_pts))
             self.msm_w_g1 = MSMCtx(self.fq, self.m_pad, scalar_bits=sbits)
             self.msm_aux = (self.msm_w_g1 if self.aux_pad == self.m_pad
                             else MSMCtx(self.fq, self.aux_pad,
@@ -118,15 +149,14 @@ class DeviceProver:
         # ~17x; keep XLA as last-resort when the toolchain is absent.
         self.g2_host = (not self.use_wave) and E.cext_ok
         if self.use_wave:
-            self.b_g2 = encode_points_affine_rows_g2(
-                self.fq, pk.b_g2 + [None] * (self.m_wave - m))
+            self.b_g2 = enc_rows(pk.b_g2, self.m_wave, g2=True)
             self.msm_w_g2 = wave(self.m_wave, g2=True)
         elif self.g2_host:
-            self.b_g2_pts = list(pk.b_g2)
+            self.b_g2_pts = as_pts(pk.b_g2)
             self.b_g2 = None
             self.msm_w_g2 = None
         else:
-            self.b_g2 = encode_points_g2(self.qq, pk.b_g2 + pad_w)
+            self.b_g2 = encode_points_g2(self.qq, as_pts(pk.b_g2) + pad_w)
             self.msm_w_g2 = MSMCtx(self.qq, self.m_pad, scalar_bits=sbits)
 
         # az/bz/cz sparse products (rows padded straight into the domain)

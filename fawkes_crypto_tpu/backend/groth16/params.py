@@ -9,7 +9,70 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
+import numpy as np
+
 from ...backend.groth16.qap import R1CS
+
+
+class G1Rows:
+    """Bulk G1 query stored as affine Montgomery rows (N, 2K) uint32 —
+    the device-native ProvingKey representation produced by the
+    fixed-base CRS generator (ops/fixed_base.py). This IS the wave-MSM
+    table format, so the DeviceProver uploads it without re-encoding;
+    at rollup scale the host point lists the reference materializes
+    (bellman Parameters, mod.rs:139-177) never exist."""
+
+    g2 = False
+
+    def __init__(self, rows: np.ndarray, fld):
+        self.rows = rows
+        self.fld = fld  # host Fq (coordinates field)
+
+    def __len__(self) -> int:
+        return self.rows.shape[0]
+
+    def to_points(self) -> list:
+        """Decode to host affine points (None = identity). O(N) bignum —
+        only for small/host paths and tests."""
+        from ...ff.jfield import FieldCtx
+
+        fctx = FieldCtx.get(self.fld)
+        k = self.rows.shape[1] // 2
+        xs = fctx.decode(np.ascontiguousarray(self.rows[:, :k]))
+        ys = fctx.decode(np.ascontiguousarray(self.rows[:, k:]))
+        zero = ~self.rows.any(axis=1)
+        return [None if zero[i] else (xs[i], ys[i])
+                for i in range(len(self))]
+
+    def __iter__(self):
+        return iter(self.to_points())
+
+
+class G2Rows(G1Rows):
+    """Bulk G2 query as affine Montgomery rows (N, 4K) uint32:
+    [X.c0 | X.c1 | Y.c0 | Y.c1]."""
+
+    g2 = True
+
+    def __init__(self, rows: np.ndarray, fld, quad_cls=None):
+        super().__init__(rows, fld)
+        self.quad_cls = quad_cls
+
+    def to_points(self) -> list:
+        from ...ff.jfield import FieldCtx
+
+        fctx = FieldCtx.get(self.fld)
+        k = self.rows.shape[1] // 4
+        comps = [fctx.decode(np.ascontiguousarray(
+            self.rows[:, j * k:(j + 1) * k])) for j in range(4)]
+        zero = ~self.rows.any(axis=1)
+        Fq2 = self.quad_cls
+        if Fq2 is None:
+            from ...native.bn_pairing import Fq2
+        return [None if zero[i]
+                else (Fq2(comps[0][i], comps[1][i]),
+                      Fq2(comps[2][i], comps[3][i]))
+                for i in range(len(self))]
 
 
 @dataclass
@@ -54,6 +117,10 @@ class Parameters:
     # pairing engine the CRS lives on (the analog of Parameters<E>'s type
     # parameter, backend/bellman_groth16/engines.rs:4-22)
     engine: str = "bn256"
+    # batch-replicated circuits (replicate.py): (TxTemplate, n_txs).
+    # When set, witness generation threads the template program per copy
+    # instead of consulting witness_ops (which is empty).
+    batch: Optional[tuple] = None
 
     @property
     def E(self):

@@ -31,6 +31,10 @@ def msm_host(points, scalars, p, E=None):
     else (TPU path in ops/msm.py)."""
     if E is None:
         from ...engines.engine import Bn256 as E
+    from .params import G1Rows
+
+    if isinstance(points, G1Rows):
+        points = points.to_points()
     G = E.g
     scalars = [s % p for s in scalars]
     if E.cext_ok and points:
@@ -104,12 +108,23 @@ def generate_witness_fast(params: Parameters, input_pub, input_sec,
     """Compiled witness-program path (backend/groth16/witness.py): 10-100x
     faster than DSL replay; falls back to replay when the program is
     unavailable (e.g. Parameters loaded from disk without hints)."""
+    if params.batch is not None:
+        # batch-replicated circuit: input_pub is the opening root,
+        # input_sec the list of tx witnesses (replicate.py)
+        from .replicate import BatchWitness
+
+        bw = params.__dict__.get("_batch_witness")
+        if bw is None:
+            bw = BatchWitness(params.batch[0])
+            params.__dict__["_batch_witness"] = bw
+        root_in = input_pub.x if hasattr(input_pub, "x") else int(input_pub)
+        return bw.evaluate(root_in, input_sec)
     if params.witness_ops:
         from .witness import WitnessProgram
 
         wp = params.__dict__.get("_witness_program")
         if wp is None:
-            wp = WitnessProgram(params)
+            wp = WitnessProgram.from_params(params)
             params.__dict__["_witness_program"] = wp
         return wp.evaluate(input_pub, input_sec)
     return generate_witness(params, input_pub, input_sec, circuit,

@@ -101,6 +101,20 @@ def r1cs_from_cs(cs: BuildCS) -> R1CS:
     )
 
 
+def _batch_inv(vals, p):
+    """Montgomery batch inversion: one pow + 3 muls per element."""
+    n = len(vals)
+    pref = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % p
+    inv = pow(pref[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = pref[i] * inv % p
+        inv = inv * vals[i] % p
+    return out
+
+
 def eval_qap_at_tau(r1cs: R1CS, tau: int, p: int, omega: int):
     """Host evaluation of u_i(tau), v_i(tau), w_i(tau) over the Lagrange
     basis of the radix-2 domain (setup-time only; prover never needs tau).
@@ -109,17 +123,17 @@ def eval_qap_at_tau(r1cs: R1CS, tau: int, p: int, omega: int):
     """
     n = r1cs.domain
     z_tau = (pow(tau, n, p) - 1) % p
-    n_inv = pow(n, -1, p)
-    # lagrange values for rows that actually appear
-    lag = {}
+    nc = r1cs.num_constraints
+    # lagrange values for rows that actually appear; denominators
+    # batch-inverted (one pow + 3 muls each instead of a pow each)
     w_pow = 1
     pows = []
-    for j in range(n):
+    for j in range(min(n, nc)):
         pows.append(w_pow)
         w_pow = (w_pow * omega) % p
-    for j in range(r1cs.num_constraints):
-        denom = (tau - pows[j]) % p
-        lag[j] = z_tau * pows[j] % p * pow(denom * n % p, -1, p) % p
+    denoms = [(tau - pows[j]) % p * n % p for j in range(nc)]
+    dinv = _batch_inv(denoms, p)
+    lag = [z_tau * pows[j] % p * dinv[j] % p for j in range(nc)]
 
     m = r1cs.num_wires
     u = [0] * m

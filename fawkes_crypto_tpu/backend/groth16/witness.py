@@ -58,15 +58,16 @@ def _flatten_values(sig, p) -> List[int]:
 class WitnessProgram:
     """Static witness-evaluation program for one traced circuit."""
 
-    def __init__(self, params: Parameters):
-        self.params = params
-        self.fr = params.E.fr
-        self.num_aux = params.r1cs.num_aux
+    def __init__(self, fr, witness_ops: dict, num_aux: int,
+                 inputize_lcs) -> None:
+        self.fr = fr
+        self.num_aux = num_aux
+        self.inputize_lcs = inputize_lcs
         # normalize: list of (first_out_aux_index, op) sorted by evaluation
         # order; hint ops claim a contiguous block of outs
         items = []
         covered = set()
-        for out, op in params.witness_ops.items():
+        for out, op in witness_ops.items():
             if isinstance(out, tuple):
                 first = min(o - AUX_BASE for o in out)
                 for o in out:
@@ -79,6 +80,17 @@ class WitnessProgram:
         self.ops = items
         self.external = [i for i in range(self.num_aux) if i not in covered]
 
+    @classmethod
+    def from_params(cls, params: Parameters) -> "WitnessProgram":
+        return cls(params.E.fr, params.witness_ops, params.r1cs.num_aux,
+                   params.inputize_lcs)
+
+    @classmethod
+    def from_parts(cls, fr, witness_ops, num_aux,
+                   inputize_lcs) -> "WitnessProgram":
+        """Standalone construction (batch tx templates, replicate.py)."""
+        return cls(fr, witness_ops, num_aux, inputize_lcs)
+
     def _lc_eval(self, lc, z_in, z_aux) -> int:
         p = self.fr.p
         acc = 0
@@ -87,9 +99,11 @@ class WitnessProgram:
             acc += coeff * v
         return acc % p
 
-    def evaluate(self, input_pub, input_sec) -> Tuple[List[int], List[int]]:
+    def evaluate(self, input_pub, input_sec,
+                 extra_inputs=()) -> Tuple[List[int], List[int]]:
         """Returns (inputs, aux) — same contract as the WitnessCS replay
-        (prover.generate_witness)."""
+        (prover.generate_witness). extra_inputs seed pseudo-input wires
+        1.. (the batch template's running root, replicate.py)."""
         p = self.fr.p
         ext_vals = (_flatten_values(input_pub, p)
                     + _flatten_values(input_sec, p))
@@ -99,7 +113,7 @@ class WitnessProgram:
         z_aux: List = [None] * self.num_aux
         for i, v in zip(self.external, ext_vals):
             z_aux[i] = v % p
-        z_in = [1]
+        z_in = [1, *(int(v) % p for v in extra_inputs)]
 
         for first, op in self.ops:
             if op.kind == "mul":
@@ -134,7 +148,7 @@ class WitnessProgram:
                 raise ValueError(f"unknown witness op kind {op.kind}")
 
         # public inputs derive from the recorded inputize LCs
-        for lc in self.params.inputize_lcs:
+        for lc in self.inputize_lcs:
             z_in.append(self._lc_eval(lc, z_in, z_aux))
         assert all(v is not None for v in z_aux), "uncovered aux wire"
         return z_in, z_aux

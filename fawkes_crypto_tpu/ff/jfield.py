@@ -87,25 +87,25 @@ class FieldCtx:
         """Host ints/Nums -> (N, K) uint32 device format (Montgomery by default)."""
         from .hostfield import Num
 
+        from .limbs import ints_to_limbs
+
         vals = []
         for x in xs:
             if isinstance(x, Num):
                 x = x.x
             vals.append(self.fld.to_mont(x) if mont else x % self.fld.p)
-        out = np.zeros((len(vals), self.k), dtype=np.uint32)
-        for j, v in enumerate(vals):
-            for i in range(self.k):
-                out[j, i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+        out = ints_to_limbs(vals, self.k)
         return out
 
     def decode(self, a, mont=True) -> list:
         """(N, K) uint32 -> list of host ints (canonical)."""
-        a = np.asarray(jax.device_get(a), dtype=np.uint64)
-        out = []
-        for j in range(a.shape[0]):
-            v = sum(int(a[j, i]) << (LIMB_BITS * i) for i in range(self.k))
-            out.append(self.fld.from_mont(v) if mont else v % self.fld.p)
-        return out
+        from .limbs import limbs_to_ints
+
+        vals = limbs_to_ints(np.asarray(jax.device_get(a)))
+        if mont:
+            return [self.fld.from_mont(v) for v in vals]
+        p = self.fld.p
+        return [v % p for v in vals]
 
     def const(self, x: int, mont=True) -> jnp.ndarray:
         """Single constant -> (K,) uint32."""

@@ -35,17 +35,22 @@ def limbs_to_int(a) -> int:
 
 
 def ints_to_limbs(xs, k: int) -> np.ndarray:
-    """Vector of ints -> (N, K) uint32."""
-    out = np.empty((len(xs), k), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(k):
-            out[j, i] = (x >> (LIMB_BITS * i)) & LIMB_MASK
-    return out
+    """Vector of ints -> (N, K) uint32. Bulk path via int.to_bytes (C
+    speed) — the per-limb Python loop was a scaling bottleneck at
+    rollup sizes (millions of coefficients per R1CS matrix)."""
+    assert LIMB_BITS == 16
+    nb = k * 2
+    buf = b"".join(int(x).to_bytes(nb, "little") for x in xs)
+    return (np.frombuffer(buf, dtype="<u2")
+            .reshape(len(xs), k).astype(np.uint32))
 
 
 def limbs_to_ints(a) -> list:
-    a = np.asarray(a, dtype=np.uint64)
+    """(N, K) uint32 16-bit limbs -> list of ints (int.from_bytes bulk)."""
+    assert LIMB_BITS == 16
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.uint32).astype("<u2"))
     n, k = a.shape
-    return [
-        sum(int(a[j, i]) << (LIMB_BITS * i) for i in range(k)) for j in range(n)
-    ]
+    nb = k * 2
+    buf = a.tobytes()
+    return [int.from_bytes(buf[j * nb:(j + 1) * nb], "little")
+            for j in range(n)]

@@ -4,15 +4,20 @@ CRS generation (the analog of bellman's generate_random_parameters,
 reference backend/bellman_groth16/setup.rs:20) needs [s_i]G for tens of
 millions of s_i over a handful of fixed bases (G1, G2, and the
 query-specific combinations evaluated at tau). Host Pippenger is
-O(minutes-hours) at rollup scale; on device it is 16 masked mixed adds
+O(minutes-hours) at rollup scale; on device it is W masked mixed adds
 per point over the full batch:
 
-  host: per 16-bit window w, a table T_w[d] = [d * 2^(16 w)] G
-        (16 x 65536 points, one-time per base, C++/Python chain adds);
-  device: acc_i = sum_w T_w[digit_w(s_i)] — per window one row gather
-        (XLA take, ~400 GB/s) + one masked mixed add over all lanes.
+  tables: T_w[d] = [d * 2^(c w)] G for d in [0, 2^c) — built ON DEVICE:
+        host computes only the W*c doublings [2^i]G, then table entry d
+        accumulates its set bits with c masked mixed adds over all
+        W*2^c lanes at once, followed by one batched Fermat inversion
+        (Jacobian -> affine rows);
+  mul:  acc_i = sum_w T_w[digit_w(s_i)] — per window one row gather
+        (XLA take) + one masked mixed add over all lanes.
 
-Works for G1 (PField rows) and G2 (PQuadField rows, g2=True).
+Works for G1 (PField rows) and G2 (PQuadField rows, g2=True). Tables
+depend only on (base, c); they are cached process-wide so every query of
+a Groth16 setup (a/b/l/h over the same generator) shares one table.
 """
 
 from __future__ import annotations
@@ -47,15 +52,161 @@ def extract_digits(scalars: jnp.ndarray, c: int, w: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
+def jac_to_affine_rows(pf, g2: bool, jac: jnp.ndarray) -> jnp.ndarray:
+    """(3K, M, 128) device Jacobian -> (M*128, 2K) affine Montgomery rows
+    via one batched Fermat inversion; identity (z=0) -> all-zero row.
+
+    Off-TPU the Pallas kernels run in interpret mode where a 508-mul
+    Fermat chain is pathologically slow; the (small, test-scale) host
+    bignum conversion serves instead."""
+    if jax.default_backend() != "tpu":
+        return _jac_to_affine_rows_host(pf, g2, jac)
+    from .tablegen import _fermat_inv, _mm
+
+    base_pf = pf.base if g2 else pf
+    mm = _mm(base_pf)
+    k = pf.k
+
+    @jax.jit
+    def to_affine(jac):
+        z = jac[2 * k:]
+        if g2:
+            kb = base_pf.k
+            a, b = z[:kb], z[kb:]
+            norm = _add_mod(base_pf, mm(a, a), mm(b, b))
+            ninv = _fermat_inv(base_pf, norm)
+            zi = jnp.concatenate(
+                [mm(a, ninv), _neg_mod(base_pf, mm(b, ninv))], axis=0)
+            zi2 = _q_mul(base_pf, zi, zi)
+            zi3 = _q_mul(base_pf, zi2, zi)
+            x = _q_mul(base_pf, jac[:k], zi2)
+            y = _q_mul(base_pf, jac[k:2 * k], zi3)
+        else:
+            zi = _fermat_inv(base_pf, z)
+            zi2 = mm(zi, zi)
+            zi3 = mm(zi2, zi)
+            x = mm(jac[:k], zi2)
+            y = mm(jac[k:2 * k], zi3)
+        return jnp.concatenate([x, y], axis=0).reshape(2 * k, -1).T
+
+    return to_affine(jac)
+
+
+def _jac_to_affine_rows_host(pf, g2: bool, jac) -> jnp.ndarray:
+    """Host bignum Jacobian -> affine rows (CPU/interpret fallback)."""
+    base_pf = pf.base if g2 else pf
+    fctx = FieldCtx.get(base_pf.fld)
+    p = base_pf.fld.p
+    k = pf.k
+    kb = base_pf.k
+    a = np.asarray(jax.device_get(jac)).reshape(3 * k, -1)
+    n = a.shape[1]
+    ncomp = 6 if g2 else 3
+    comps = [fctx.decode(np.ascontiguousarray(a[i * kb:(i + 1) * kb, :].T))
+             for i in range(ncomp)]
+    out_cols = [[0] * n for _ in range(2 * (2 if g2 else 1))]
+    for i in range(n):
+        if g2:
+            z0, z1 = comps[4][i], comps[5][i]
+            if z0 == 0 and z1 == 0:
+                continue
+            norm = (z0 * z0 + z1 * z1) % p
+            ni = pow(norm, -1, p)
+            zi = (z0 * ni % p, (-z1 * ni) % p)
+
+            def qmul(x, y):
+                return ((x[0] * y[0] - x[1] * y[1]) % p,
+                        (x[0] * y[1] + x[1] * y[0]) % p)
+
+            zi2 = qmul(zi, zi)
+            zi3 = qmul(zi2, zi)
+            x = qmul((comps[0][i], comps[1][i]), zi2)
+            y = qmul((comps[2][i], comps[3][i]), zi3)
+            out_cols[0][i], out_cols[1][i] = x
+            out_cols[2][i], out_cols[3][i] = y
+        else:
+            z = comps[2][i]
+            if z == 0:
+                continue
+            zi = pow(z, -1, p)
+            zi2 = zi * zi % p
+            out_cols[0][i] = comps[0][i] * zi2 % p
+            out_cols[1][i] = comps[1][i] * zi2 * zi % p
+    out = np.zeros((n, 2 * k), dtype=np.uint32)
+    for j, col in enumerate(out_cols):
+        out[:, j * kb:(j + 1) * kb] = fctx.encode(col)
+    # identity stays an all-zero row even in Montgomery form
+    return jnp.asarray(out)
+
+
+_TABLE_CACHE: dict = {}
+
+
+def fixed_base_tables(fctx: FieldCtx, base, w: int, c: int,
+                      g2: bool = False, group=None) -> jnp.ndarray:
+    """(W, 2^c, 2K|4K) affine Montgomery row tables for `base`, built on
+    device. Host work is only the w*c doublings."""
+    if group is None:
+        from ..native import bn_pairing as group
+    key = (id(fctx.fld), _point_key(base), w, c, g2)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from .msm_wave import (
+        encode_points_affine_rows,
+        encode_points_affine_rows_g2,
+    )
+
+    pf = PQuadField.get(fctx.fld) if g2 else PField.get(fctx.fld)
+    pc = PCurve.get(pf)
+    k = pf.k
+    enc = encode_points_affine_rows_g2 if g2 else encode_points_affine_rows
+
+    # host: the w*c doublings [2^i] base
+    g_add = group.g_add
+    doubles = []
+    pt = base
+    for _ in range(w * c):
+        doubles.append(pt)
+        pt = g_add(pt, pt)
+
+    b = 1 << c
+    lanes = w * b
+    assert lanes % 128 == 0
+    d_in_w = np.tile(np.arange(b, dtype=np.int64), w)
+    state = jnp.zeros((3 * k, lanes // 128, 128), dtype=jnp.uint32)
+    for j in range(c):
+        # per-window constant point [2^(c*w_ + j)] base on every lane of
+        # window w_, masked by bit j of the lane's digit
+        rows = np.asarray(enc(fctx, [doubles[c * w_ + j] for w_ in range(w)]))
+        rep = np.repeat(rows, b, axis=0)  # (lanes, 2K|4K)
+        pts = jnp.asarray(rep.T.reshape(2 * k, lanes // 128, 128))
+        mask = jnp.asarray(
+            ((d_in_w >> j) & 1).astype(np.uint32).reshape(-1, 128))
+        state = pc.madd_affine_masked(state, pts, mask)
+
+    aff = jac_to_affine_rows(pf, g2, state)  # (lanes, 2K|4K)
+    tables = aff.reshape(w, b, 2 * k)
+    tables.block_until_ready()
+    _TABLE_CACHE[key] = tables
+    return tables
+
+
+def _point_key(pt):
+    if pt is None:
+        return None
+    x, y = pt
+    if hasattr(x, "c0"):
+        return (x.c0, x.c1, y.c0, y.c1)
+    return (x, y)
+
+
 class FixedBase:
     """Compiled fixed-base multiplier for one (base point, batch n)."""
 
     def __init__(self, fctx: FieldCtx, base, n: int, g2: bool = False,
                  scalar_bits: int = 254, c: int = LIMB_BITS, group=None):
-        if group is None:
-            from ..native import bn_pairing as group
-        g_add = group.g_add
-
         self.fctx = fctx
         self.g2 = g2
         self.pf = PQuadField.get(fctx.fld) if g2 else PField.get(fctx.fld)
@@ -65,27 +216,8 @@ class FixedBase:
         self.c = c
         assert n % 128 == 0
         self.w = (scalar_bits + c - 1) // c
-        b = 1 << c
-
-        # host tables: T_w[d] = [d * 2^(c w)] base, d in [0, 2^c)
-        from .msm_wave import (
-            encode_points_affine_rows,
-            encode_points_affine_rows_g2,
-        )
-
-        enc = (encode_points_affine_rows_g2 if g2
-               else encode_points_affine_rows)
-        tables = []
-        step = base
-        for _ in range(self.w):
-            row = [None] * b
-            acc = None
-            for d in range(1, b):
-                acc = g_add(acc, step)
-                row[d] = acc
-            tables.append(enc(fctx, row))
-            step = g_add(acc, step)  # [2^c] * step_w = next window base
-        self.tables = jnp.stack(tables)  # (W, 2^c, 2K or 4K)
+        self.tables = fixed_base_tables(fctx, base, self.w, c, g2=g2,
+                                        group=group)
 
     @functools.cached_property
     def _run(self):
@@ -112,37 +244,7 @@ class FixedBase:
 
     def mul_affine_rows(self, scalars: jnp.ndarray) -> jnp.ndarray:
         """-> (N, 2K) affine Montgomery rows (batched Fermat inversion)."""
-        from .tablegen import _fermat_inv, _mm
-
-        base_pf = (self.pf.base if self.g2 else self.pf)
-        mm = _mm(base_pf)
-        k = self.k
-        jac = self._run(scalars)
-
-        @jax.jit
-        def to_affine(jac):
-            z = jac[2 * k:]
-            if self.g2:
-                # Fq2 inverse: (a - b u)/(a^2 + b^2); componentwise kernels
-                kb = base_pf.k
-                a, b = z[:kb], z[kb:]
-                norm = _add_mod(base_pf, mm(a, a), mm(b, b))
-                ninv = _fermat_inv(base_pf, norm)
-                zi = jnp.concatenate(
-                    [mm(a, ninv), _neg_mod(base_pf, mm(b, ninv))], axis=0)
-                zi2 = _q_mul(base_pf, zi, zi)
-                zi3 = _q_mul(base_pf, zi2, zi)
-                x = _q_mul(base_pf, jac[:k], zi2)
-                y = _q_mul(base_pf, jac[k:2 * k], zi3)
-            else:
-                zi = _fermat_inv(base_pf, z)
-                zi2 = mm(zi, zi)
-                zi3 = mm(zi2, zi)
-                x = mm(jac[:k], zi2)
-                y = mm(jac[k:2 * k], zi3)
-            return jnp.concatenate([x, y], axis=0).reshape(2 * k, -1).T
-
-        return to_affine(jac)
+        return jac_to_affine_rows(self.pf, self.g2, self._run(scalars))
 
 
 # ---- (K, M, 128)-layout helpers shared with tablegen ------------------------

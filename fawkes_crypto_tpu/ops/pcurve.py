@@ -224,9 +224,13 @@ class PCurve:
 
     _cache = {}
 
-    def __init__(self, pf: PField, sub: int = 8):
+    def __init__(self, pf: PField, sub: int = None):
         self.pf = pf
         self.k = pf.k
+        if sub is None:
+            import os
+
+            sub = int(os.environ.get("FAWKES_PC_SUB", "8"))
         self.sub = sub
 
     @classmethod

@@ -59,7 +59,7 @@ def test_witness_program_merkle():
     want_in, want_aux = generate_witness(
         params, root, (leaf, mp), circuit, alloc_pub, alloc_sec
     )
-    prog = WitnessProgram(params)
+    prog = WitnessProgram.from_params(params)
     got_in, got_aux = prog.evaluate(root, (leaf, mp))
     assert got_in == want_in
     assert got_aux == want_aux
@@ -94,7 +94,7 @@ def test_witness_program_eddsa_hints_and_bits():
     want_in, want_aux = generate_witness(
         params, m, sec, circuit, alloc_pub, alloc_sec
     )
-    prog = WitnessProgram(params)
+    prog = WitnessProgram.from_params(params)
     got_in, got_aux = prog.evaluate(m, sec)
     assert got_in == want_in
     assert got_aux == want_aux
