@@ -34,10 +34,15 @@ from ...ops.spmv import SpMV
 
 
 class DeviceProver:
-    """Per-Parameters device state: encoded queries + compiled kernels."""
+    """Per-Parameters device state: encoded queries + compiled kernels.
 
-    def __init__(self, params):
+    `batch` > 1 compiles the dp prove_many pipeline: the five MSMs run
+    as batched wave schedules (B proofs' windows in one accumulation,
+    ops/msm_wave.py `batch`) and the h pipeline vmaps over proofs."""
+
+    def __init__(self, params, batch: int = 1):
         self.params = params
+        self.batch = batch
         E = params.E
         self.E = E
         Fq, Fr = E.fq, E.fr
@@ -110,14 +115,15 @@ class DeviceProver:
             def wave(size, **kw):
                 kw.setdefault("scalar_bits", sbits)
                 kw.setdefault("group", grp)
+                kw.setdefault("batch", batch)
                 if size >= (1 << 18):
-                    # packed-gather schedule: ~1.3x the row-gather wave
-                    # at 2^22 (scripts/scan_wave2.py); G1 only until the
-                    # G2 packed path is chip-validated
+                    # packed-gather limbs-first schedule: 2.7x the
+                    # row-gather wave at 2^22 (scripts/scan_wave2lf.py);
+                    # G2 chip-validated vs the host Pippenger
+                    # (scripts/exp_g2wave2.py)
                     from ...ops.msm_wave2 import MSMWave2
 
-                    cls = MSMWave if kw.get("g2") else MSMWave2
-                    return cls(self.fq, size, c=12, v=8, **kw)
+                    return MSMWave2(self.fq, size, c=12, v=8, **kw)
                 return MSMWave(self.fq, size, **kw)
 
             self.n_wave = wpad(n)
@@ -181,9 +187,19 @@ class DeviceProver:
             self.lntt = LNTTCtx.get(self.fr, n)
             self.gp_lf = to_lf(gp)
             self.ginvp_lf = to_lf(ginvp)
-            self.zinv_lf = jnp.broadcast_to(
-                to_lf(self.fr.const(zinv)[None, :]), (self.fr.k, n),
-            )
+            self.zinv_k = self.fr.const(zinv)  # (K,), broadcast in-graph
+            # every large array is passed as a jit ARGUMENT, not captured:
+            # the axon remote compiler ships captured constants inside the
+            # HLO payload (GBs at rollup scale -> broken pipe)
+            self._tables = {
+                "a": self.spmv_a.arrays,
+                "b": self.spmv_b.arrays,
+                "c": self.spmv_c.arrays,
+                "w": self.lntt.w_pows,
+                "winv": self.lntt.winv_pows,
+                "gp": self.gp_lf,
+                "ginvp": self.ginvp_lf,
+            }
         else:
             self.gp_xla = gp
             self.ginvp_xla = ginvp
@@ -199,21 +215,24 @@ class DeviceProver:
         if self.use_wave:
             lntt = self.lntt
 
-            def pipeline(z):
-                az = self.spmv_a.apply(z)
-                bz = self.spmv_b.apply(z)
-                cz = self.spmv_c.apply(z)
+            def pipeline(z, t):
+                az = self.spmv_a.apply_arrays(z, t["a"])
+                bz = self.spmv_b.apply_arrays(z, t["b"])
+                cz = self.spmv_c.apply_arrays(z, t["c"])
+
+                def e2c_br(x):
+                    return lntt._scale(lntt._fwd(x, t["winv"]),
+                                       lntt.n_inv)
 
                 def coset(x):
-                    cbr = lntt.evals_to_coeffs_br(to_lf(x))
-                    return lntt.coeffs_br_to_evals(
-                        lntt.mul(cbr, self.gp_lf))
+                    cbr = e2c_br(to_lf(x))
+                    return lntt._bwd(lntt.mul(cbr, t["gp"]), t["w"])
 
                 ea, eb, ec = coset(az), coset(bz), coset(cz)
-                h_ev = lntt.mul(lntt.sub(lntt.mul(ea, eb), ec),
-                                self.zinv_lf)
-                h_br = lntt.mul(lntt.evals_to_coeffs_br(h_ev),
-                                self.ginvp_lf)
+                zinv_lf = jnp.broadcast_to(
+                    self.zinv_k[:, None], (self.fr.k, ea.shape[1]))
+                h_ev = lntt.mul(lntt.sub(lntt.mul(ea, eb), ec), zinv_lf)
+                h_br = lntt.mul(e2c_br(h_ev), t["ginvp"])
                 # canonical limbs, MSM-ready
                 return from_lf(lntt.from_mont(h_br))
         else:
@@ -237,7 +256,22 @@ class DeviceProver:
                 return fr.from_mont(h_br)
 
         if not hasattr(self, "_jit_pipeline"):
-            self._jit_pipeline = jax.jit(pipeline)
+            if self.use_wave:
+                if self.batch > 1:
+                    # batch mode: z (B, m, K) -> (B, N, K); lax.map keeps
+                    # one compiled pipeline (the MSMs, not h, dominate)
+                    self._jit_pipeline = jax.jit(
+                        lambda zb, t: jax.lax.map(
+                            lambda z: pipeline(z, t), zb))
+                else:
+                    self._jit_pipeline = jax.jit(pipeline)
+            elif self.batch > 1:
+                self._jit_pipeline = jax.jit(
+                    lambda zb: jax.lax.map(pipeline, zb))
+            else:
+                self._jit_pipeline = jax.jit(pipeline)
+        if self.use_wave:
+            return self._jit_pipeline(z_mont, self._tables)
         return self._jit_pipeline(z_mont)
 
     # ---- MSMs ---------------------------------------------------------------
@@ -252,6 +286,7 @@ class DeviceProver:
         tm = timer if timer is not None else StageTimer(publish=False)
         k = self.fq.k
         if self.use_wave:
+            assert self.batch == 1, "batched context: use msms_batch"
             z_sc = encode_scalars(z, self.m_wave, k)
             aux_sc = encode_scalars(aux, self.aux_wave, k)
             if h_br.shape[0] < self.n_wave:
@@ -291,3 +326,39 @@ class DeviceProver:
             h = decode_point_g1(
                 self.fq, self.msm_h.jit_msm(self.h_g1, h_br))
         return a, b1, b2, l, h
+
+    def msms_batch(self, z_list, aux_list, h_br, timer=None):
+        """Batched (dp) MSMs for B proofs sharing this CRS. z_list /
+        aux_list: B host int lists; h_br: (B, N, K) canonical limbs.
+        Returns a list of B (a, b1, b2, l, h) tuples. On the wave path
+        all B proofs ride ONE schedule per query (ops/msm_wave.py
+        msm_batch); off-TPU falls back to a per-proof loop."""
+        from ...utils.profiling import StageTimer
+
+        tm = timer if timer is not None else StageTimer(publish=False)
+        B = len(z_list)
+        assert self.batch in (1, B)
+        if not (self.use_wave and self.batch == B):
+            return [
+                self.msms(z, aux, h_br[i], timer=tm)
+                for i, (z, aux) in enumerate(zip(z_list, aux_list))
+            ]
+        k = self.fq.k
+        z_sc = jnp.stack(
+            [encode_scalars(z, self.m_wave, k) for z in z_list])
+        aux_sc = jnp.stack(
+            [encode_scalars(a, self.aux_wave, k) for a in aux_list])
+        if h_br.shape[1] < self.n_wave:
+            h_br = jnp.pad(
+                h_br, ((0, 0), (0, self.n_wave - h_br.shape[1]), (0, 0)))
+        with tm.stage("msm_a"):
+            a = self.msm_w_g1.msm_batch(self.a_g1, z_sc)
+        with tm.stage("msm_b1"):
+            b1 = self.msm_w_g1.msm_batch(self.b_g1, z_sc)
+        with tm.stage("msm_b2"):
+            b2 = self.msm_w_g2.msm_batch(self.b_g2, z_sc)
+        with tm.stage("msm_l"):
+            l = self.msm_aux.msm_batch(self.l_g1, aux_sc)
+        with tm.stage("msm_h"):
+            h = self.msm_h.msm_batch(self.h_g1, h_br)
+        return list(zip(a, b1, b2, l, h))

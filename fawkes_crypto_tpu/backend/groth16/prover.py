@@ -145,11 +145,15 @@ def _assert_satisfied(r1cs, z, p):
 def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
           alloc_pub: Callable, alloc_sec: Callable,
           seed: Optional[bytes] = None,
-          device_msm: Optional[bool] = None) -> Tuple[list, Proof]:
+          device_msm: Optional[bool] = None,
+          mesh=None) -> Tuple[list, Proof]:
     """Returns (public_inputs, proof). Randomizers r,s from seed or OS.
 
     device_msm: True -> TPU MSM/NTT pipeline (backend/groth16/device.py);
     False -> host oracle path; None -> device for large circuits.
+    mesh: a jax.sharding.Mesh -> shard the NTT domain and all five MSMs
+    over its "sp" axis (backend/groth16/mesh.py MeshProver) — the
+    multi-chip prover; proofs stay bit-identical to single-chip.
     """
     from ...utils.profiling import StageTimer, device_trace
 
@@ -166,7 +170,9 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     z = inputs + aux
     r1cs = params.r1cs
     assert len(z) == r1cs.num_wires
-    if device_msm is None:
+    if mesh is not None:
+        device_msm = True
+    elif device_msm is None:
         device_msm = r1cs.domain >= 4096
 
     # Optional R1CS-satisfaction sanity check (both paths): an unsatisfied
@@ -195,13 +201,22 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     if device_msm:
         import jax.numpy as jnp
 
-        from .device import DeviceProver
+        if mesh is not None:
+            from .mesh import MeshProver
 
-        dp = params.__dict__.setdefault("_device_prover", None)
-        if dp is None:
-            with tm.stage("device_init"):
-                dp = DeviceProver(params)
-                params.__dict__["_device_prover"] = dp
+            dp = params.__dict__.get("_mesh_prover")
+            if dp is None or dp.mesh is not mesh:
+                with tm.stage("device_init"):
+                    dp = MeshProver(params, mesh)
+                    params.__dict__["_mesh_prover"] = dp
+        else:
+            from .device import DeviceProver
+
+            dp = params.__dict__.setdefault("_device_prover", None)
+            if dp is None:
+                with tm.stage("device_init"):
+                    dp = DeviceProver(params)
+                    params.__dict__["_device_prover"] = dp
         with device_trace("groth16_prove"):
             with tm.stage("spmv_ntt_h"):
                 z_mont = jnp.asarray(dp.fr.encode(z))
@@ -237,6 +252,90 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
 
     tm.close()
     return inputs[1:], Proof(a=a_pt, b=b_pt, c=c_pt)
+
+
+def prove_many(params: Parameters, jobs, circuit: Callable,
+               alloc_pub: Callable, alloc_sec: Callable,
+               seeds: Optional[list] = None,
+               device_msm: Optional[bool] = None):
+    """Batched (dp) proving: N proofs sharing one CRS residency.
+
+    jobs: list of (input_pub, input_sec). Returns a list of
+    (public_inputs, Proof). On the TPU wave path, all N proofs' MSMs run
+    as ONE batched wave schedule per CRS query (proof i's windows are
+    extra windows of the same accumulation — ops/msm_wave.py `batch`)
+    and the h pipelines share one compiled map, so fixed per-MSM costs
+    (digit sort dispatch, reduction trees, host Horner roundtrips)
+    amortize across the batch — the ZeroPool-operator shape
+    (SURVEY.md §2.5 data parallel; reference has no analog)."""
+    B = len(jobs)
+    E = params.E
+    Fr = E.fr
+    p = Fr.p
+    g_add, g_mul, g_neg = E.g.g_add, E.g.g_mul, E.g.g_neg
+    if seeds is None:
+        seeds = [os.urandom(32) for _ in range(B)]
+    assert len(seeds) == B
+
+    from ...utils.profiling import StageTimer
+
+    tm = StageTimer()
+    r1cs = params.r1cs
+    with tm.stage("witness"):
+        zs, inputs_l, aux_l = [], [], []
+        for input_pub, input_sec in jobs:
+            inputs, aux = generate_witness_fast(
+                params, input_pub, input_sec, circuit, alloc_pub,
+                alloc_sec)
+            inputs_l.append(inputs)
+            aux_l.append(aux)
+            zs.append(inputs + aux)
+
+    if device_msm is None:
+        import jax
+
+        device_msm = (r1cs.domain >= 4096
+                      or jax.default_backend() == "tpu")
+    if not device_msm:
+        out = []
+        for (input_pub, input_sec), seed in zip(jobs, seeds):
+            out.append(prove(params, input_pub, input_sec, circuit,
+                             alloc_pub, alloc_sec, seed=seed,
+                             device_msm=False))
+        return out
+
+    import jax.numpy as jnp
+
+    from .device import DeviceProver
+
+    dp = params.__dict__.get("_batch_prover")
+    if dp is None or dp.batch != B:
+        with tm.stage("device_init"):
+            dp = DeviceProver(params, batch=B)
+            params.__dict__["_batch_prover"] = dp
+    with tm.stage("spmv_ntt_h"):
+        z_mont = jnp.stack([jnp.asarray(dp.fr.encode(z)) for z in zs])
+        h_br = jax_block(dp.h_scalars_br(z_mont))
+    per_proof = dp.msms_batch(zs, aux_l, h_br, timer=tm)
+
+    pk = params.pk
+    out = []
+    with tm.stage("host_tail"):
+        for i, (a_msm, b1_msm, b2_msm, l_pt, h_pt) in enumerate(per_proof):
+            sb = SeedboxChaCha20(b"groth16_prove" + seeds[i])
+            r = sb.gen_num(Fr).x
+            s = sb.gen_num(Fr).x
+            a_pt = g_add(g_add(pk.alpha_g1, a_msm), g_mul(pk.delta_g1, r))
+            b_pt = g_add(g_add(pk.beta_g2, b2_msm), g_mul(pk.delta_g2, s))
+            b1_pt = g_add(g_add(pk.beta_g1, b1_msm),
+                          g_mul(pk.delta_g1, s))
+            c_pt = g_add(l_pt, h_pt)
+            c_pt = g_add(c_pt, g_mul(a_pt, s))
+            c_pt = g_add(c_pt, g_mul(b1_pt, r))
+            c_pt = g_add(c_pt, g_neg(g_mul(pk.delta_g1, r * s % p)))
+            out.append((inputs_l[i][1:], Proof(a=a_pt, b=b_pt, c=c_pt)))
+    tm.close()
+    return out
 
 
 def jax_block(x):

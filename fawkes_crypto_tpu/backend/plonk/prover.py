@@ -77,15 +77,48 @@ def _batch_inv(vals: List[int], p: int) -> List[int]:
     return out
 
 
+def _use_device(n: int) -> bool:
+    dev = os.environ.get("FAWKES_PLONK_DEVICE", "")
+    if dev not in ("",):
+        return dev != "0"
+    import jax
+
+    return jax.default_backend() == "tpu" and n >= 1024
+
+
+def _q_coeffs(pk: ProvingKey):
+    """Selector coefficient polynomials (cached: they are fixed per key
+    but prover rounds 4/5 need them every proof)."""
+    qc = pk.__dict__.get("_q_coeffs")
+    if qc is None:
+        p = Fr.p
+        qc = tuple(intt(q, pk.omega, p)
+                   for q in (pk.ql, pk.qr, pk.qo, pk.qm, pk.qc))
+        pk.__dict__["_q_coeffs"] = qc
+    return qc
+
+
 def prove(params: Parameters, pk: ProvingKey, input_pub, input_sec,
           circuit: Callable, alloc_pub: Callable, alloc_sec: Callable,
           seed: Optional[bytes] = None) -> Tuple[List, Proof]:
     """Returns (public_input_values, proof). Re-runs the circuit with
     concrete values (the reference's plonk prove does the same,
-    prover.rs:56-66) and asserts eager satisfaction."""
+    prover.rs:56-66) and asserts eager satisfaction.
+
+    On TPU (or FAWKES_PLONK_DEVICE=1) the heavy polynomial math — the
+    round-1/2 interpolations and the whole round-3 quotient — runs on
+    device (backend/plonk/device.py); the host path remains the oracle."""
     p = Fr.p
     n = pk.n
     omega = pk.omega
+    dev = None
+    if _use_device(n):
+        from .device import PlonkDevice
+
+        dev = pk.__dict__.get("_device")
+        if dev is None:
+            dev = PlonkDevice(pk)
+            pk.__dict__["_device"] = dev
 
     cs = _trace(circuit, alloc_pub, alloc_sec, input_pub, input_sec,
                 tracking=True)
@@ -113,9 +146,11 @@ def prove(params: Parameters, pk: ProvingKey, input_pub, input_sec,
         tr.absorb_scalar(x)
 
     # ---- round 1: wire polynomials -----------------------------------------
+    interp = dev.intt_n if dev is not None else (
+        lambda v: intt(v, omega, p))
     wire_coeffs = []
     for c in range(3):
-        base = intt(w[c], omega, p)
+        base = interp(w[c])
         bl = poly_mul_zh([blind[2 * c + 1], blind[2 * c]], n, p)
         wire_coeffs.append(poly_add(base, bl, p))
     cm_a = commit(params, wire_coeffs[0])
@@ -148,7 +183,7 @@ def prove(params: Parameters, pk: ProvingKey, input_pub, input_sec,
     assert zv[n - 1] * nums[n - 1] % p * den_inv[n - 1] % p == 1, \
         "permutation argument does not close"
     z_coeffs = poly_add(
-        intt(zv, omega, p),
+        interp(zv),
         poly_mul_zh([blind[8], blind[7], blind[6]], n, p), p,
     )
     cm_z = commit(params, z_coeffs)
@@ -158,49 +193,52 @@ def prove(params: Parameters, pk: ProvingKey, input_pub, input_sec,
     # ---- round 3: quotient on the 8n coset ----------------------------------
     m = 8 * n
     shift = Fr.generator
-    ext = lambda coeffs: coset_eval(coeffs, m, shift, Fr)  # noqa: E731
+    if dev is not None:
+        t_coeffs = dev.quotient(wire_coeffs, z_coeffs, pub_vals,
+                                beta, gamma, alpha)
+    else:
+        ext = lambda coeffs: coset_eval(coeffs, m, shift, Fr)  # noqa: E731
 
-    A, B, C = (ext(wc) for wc in wire_coeffs)
-    Z = ext(z_coeffs)
-    rot = m // n
-    Zw = Z[rot:] + Z[:rot]  # z(omega * x) on the coset
-    QL, QR, QO, QM, QC = (ext(intt(q, omega, p))
-                          for q in (pk.ql, pk.qr, pk.qo, pk.qm, pk.qc))
-    S1e, S2e, S3e = (ext(sc) for sc in pk.s_coeffs)
-    pi_vec = [0] * n
-    for i, x in enumerate(pub_vals):
-        pi_vec[i] = (-x) % p
-    PI = ext(intt(pi_vec, omega, p))
-    l1_vec = [0] * n
-    l1_vec[0] = 1
-    L1 = ext(intt(l1_vec, omega, p))
+        A, B, C = (ext(wc) for wc in wire_coeffs)
+        Z = ext(z_coeffs)
+        rot = m // n
+        Zw = Z[rot:] + Z[:rot]  # z(omega * x) on the coset
+        QL, QR, QO, QM, QC = (ext(q) for q in _q_coeffs(pk))
+        S1e, S2e, S3e = (ext(sc) for sc in pk.s_coeffs)
+        pi_vec = [0] * n
+        for i, x in enumerate(pub_vals):
+            pi_vec[i] = (-x) % p
+        PI = ext(intt(pi_vec, omega, p))
+        l1_vec = [0] * n
+        l1_vec[0] = 1
+        L1 = ext(intt(l1_vec, omega, p))
 
-    wm = root_of_unity(Fr, m)
-    xs = [1] * m
-    for i in range(1, m):
-        xs[i] = xs[i - 1] * wm % p
-    gn = pow(shift, n, p)
-    zh_inv_cycle = _batch_inv(
-        [(gn * pow(xs[i], n, p) - 1) % p for i in range(rot)], p
-    )
+        wm = root_of_unity(Fr, m)
+        xs = [1] * m
+        for i in range(1, m):
+            xs[i] = xs[i - 1] * wm % p
+        gn = pow(shift, n, p)
+        zh_inv_cycle = _batch_inv(
+            [(gn * pow(xs[i], n, p) - 1) % p for i in range(rot)], p
+        )
 
-    t_evals = [0] * m
-    for i in range(m):
-        x = xs[i] * shift % p
-        gate = (QM[i] * A[i] % p * B[i] + QL[i] * A[i] + QR[i] * B[i]
-                + QO[i] * C[i] + QC[i] + PI[i]) % p
-        prod_id = ((A[i] + beta * x + gamma)
-                   * (B[i] + beta * K1 % p * x + gamma) % p
-                   * ((C[i] + beta * K2 % p * x + gamma) % p)) % p
-        prod_sg = ((A[i] + beta * S1e[i] + gamma)
-                   * (B[i] + beta * S2e[i] + gamma) % p
-                   * ((C[i] + beta * S3e[i] + gamma) % p)) % p
-        perm = (prod_id * Z[i] - prod_sg * Zw[i]) % p
-        lag = (Z[i] - 1) * L1[i] % p
-        num = (gate + alpha * perm + alpha * alpha % p * lag) % p
-        t_evals[i] = num * zh_inv_cycle[i % rot] % p
+        t_evals = [0] * m
+        for i in range(m):
+            x = xs[i] * shift % p
+            gate = (QM[i] * A[i] % p * B[i] + QL[i] * A[i] + QR[i] * B[i]
+                    + QO[i] * C[i] + QC[i] + PI[i]) % p
+            prod_id = ((A[i] + beta * x + gamma)
+                       * (B[i] + beta * K1 % p * x + gamma) % p
+                       * ((C[i] + beta * K2 % p * x + gamma) % p)) % p
+            prod_sg = ((A[i] + beta * S1e[i] + gamma)
+                       * (B[i] + beta * S2e[i] + gamma) % p
+                       * ((C[i] + beta * S3e[i] + gamma) % p)) % p
+            perm = (prod_id * Z[i] - prod_sg * Zw[i]) % p
+            lag = (Z[i] - 1) * L1[i] % p
+            num = (gate + alpha * perm + alpha * alpha % p * lag) % p
+            t_evals[i] = num * zh_inv_cycle[i % rot] % p
 
-    t_coeffs = coset_interp(t_evals, shift, Fr)
+        t_coeffs = coset_interp(t_evals, shift, Fr)
     deg_cap = 3 * (n + 2)
     assert all(c == 0 for c in t_coeffs[deg_cap:]), \
         "quotient degree overflow: constraint system not satisfied"
@@ -231,17 +269,24 @@ def prove(params: Parameters, pk: ProvingKey, input_pub, input_sec,
 
     zh_zeta = (pow(zeta, n, p) - 1) % p
     l1_zeta = zh_zeta * pow(n * (zeta - 1) % p, -1, p) % p
-    pi_zeta = poly_eval(intt(pi_vec, omega, p), zeta, p)
+    # pi(zeta) = sum_i -x_i * L_i(zeta), L_i(z) = w^i (z^n-1)/(n (z-w^i))
+    # — closed form over the few public rows, no size-n interpolation
+    pi_zeta = 0
+    om_i = 1
+    for x in pub_vals:
+        li = om_i * zh_zeta % p * pow(n * (zeta - om_i) % p, -1, p) % p
+        pi_zeta = (pi_zeta - x * li) % p
+        om_i = om_i * omega % p
 
     # r(X): every non-constant group scaled onto its committed polynomial;
     # constants chosen so r(zeta) == 0 for an honest witness.
+    ql_c, qr_c, qo_c, qm_c, qc_c = _q_coeffs(pk)
     r = [0]
     gate_c = poly_add(
-        poly_add(poly_scale(intt(pk.qm, omega, p), a_bar * b_bar % p, p),
-                 poly_scale(intt(pk.ql, omega, p), a_bar, p), p),
-        poly_add(poly_scale(intt(pk.qr, omega, p), b_bar, p),
-                 poly_add(poly_scale(intt(pk.qo, omega, p), c_bar, p),
-                          intt(pk.qc, omega, p), p), p), p)
+        poly_add(poly_scale(qm_c, a_bar * b_bar % p, p),
+                 poly_scale(ql_c, a_bar, p), p),
+        poly_add(poly_scale(qr_c, b_bar, p),
+                 poly_add(poly_scale(qo_c, c_bar, p), qc_c, p), p), p)
     r = poly_add(r, gate_c, p)
     r[0] = (r[0] + pi_zeta) % p
 

@@ -124,7 +124,8 @@ class MSMWave:
     (VERDICT round-1 item #1)."""
 
     def __init__(self, fctx: FieldCtx, n: int, c: int = 8, v: int = 32,
-                 scalar_bits: int = 254, g2: bool = False, group=None):
+                 scalar_bits: int = 254, g2: bool = False, group=None,
+                 batch: int = 1):
         # host group module for the tail arithmetic (Horner, chunk
         # accumulation); BN254 by default, pass E.g for other engines so
         # the device path never reduces mod the wrong prime
@@ -140,7 +141,13 @@ class MSMWave:
         self.c = c
         self.v = v
         self.b = 1 << c
-        self.w = (scalar_bits + c - 1) // c
+        # `batch` > 1 runs B independent MSMs over ONE shared point table
+        # in a single schedule: proof i's windows are just W more windows
+        # (digit sort, wave accumulation, reductions all amortize — the
+        # dp prove_many path, backend/groth16/prover.py)
+        self.batch = batch
+        self.w_base = (scalar_bits + c - 1) // c
+        self.w = self.w_base * batch
         self.k = self.pf.k  # per-coordinate limb rows (2K for Fq2)
         wbv = self.w * self.b * v
         assert wbv % 1024 == 0, "W*B*V must tile (multiple of 1024)"
@@ -150,7 +157,8 @@ class MSMWave:
         self.wb = wb
 
         # per-window live digit counts and replica factors
-        live_bits = [min(c, scalar_bits - w_ * c) for w_ in range(self.w)]
+        live_bits = [min(c, scalar_bits - w_ * c)
+                     for w_ in range(self.w_base)] * batch
         self.digit_counts = [1 << lb for lb in live_bits]
         self.replicas = [self.b // dc for dc in self.digit_counts]
 
@@ -186,11 +194,11 @@ class MSMWave:
         ]))
 
     # ---- digit extraction ----------------------------------------------------
-    def _digits(self, scalars: jnp.ndarray) -> jnp.ndarray:
+    def _digits_one(self, scalars: jnp.ndarray) -> jnp.ndarray:
         k = scalars.shape[-1]
         mask = jnp.uint32(self.b - 1)
         outs = []
-        for w in range(self.w):
+        for w in range(self.w_base):
             off = w * self.c
             l0 = off // LIMB_BITS
             sh = off % LIMB_BITS
@@ -199,6 +207,16 @@ class MSMWave:
                 d = d | (scalars[:, l0 + 1] << (LIMB_BITS - sh))
             outs.append((d & mask).astype(jnp.int32))
         return jnp.stack(outs, axis=0)
+
+    def _digits(self, scalars: jnp.ndarray) -> jnp.ndarray:
+        """(N, K) -> (W, N); batch mode: (B, N, K) -> (B*W_base, N)."""
+        if self.batch == 1:
+            return self._digits_one(scalars)
+        assert scalars.shape[0] == self.batch
+        return jnp.concatenate(
+            [self._digits_one(scalars[i]) for i in range(self.batch)],
+            axis=0,
+        )
 
     # ---- device pipeline -------------------------------------------------------
     @functools.cached_property
@@ -384,7 +402,20 @@ class MSMWave:
         """points_rows (N, 2K) affine ((N, 4K) for g2); scalars (N, K)
         canonical 16-bit limbs. Returns the affine point (or None) on
         the host: (x, y) ints for G1, (Fq2, Fq2) for G2."""
+        assert self.batch == 1, "use msm_batch on a batched context"
         tw = self._window_sums(points_rows, scalars)
         window_pts = (decode_points_lf_g2(self.fctx, tw, self.group)
                       if self.g2 else decode_points_lf(self.fctx, tw))
         return self._horner(window_pts)
+
+    def msm_batch(self, points_rows: jnp.ndarray, scalars: jnp.ndarray):
+        """Batched MSMs over one table: scalars (B, N, K) -> list of B
+        affine points (one schedule; proof i owns windows
+        [i*W_base, (i+1)*W_base))."""
+        assert scalars.shape[0] == self.batch
+        tw = self._window_sums(points_rows, scalars)
+        pts = (decode_points_lf_g2(self.fctx, tw, self.group)
+               if self.g2 else decode_points_lf(self.fctx, tw))
+        wb_ = self.w_base
+        return [self._horner(pts[i * wb_:(i + 1) * wb_])
+                for i in range(self.batch)]

@@ -42,16 +42,26 @@ from .msm_wave import MSMWave
 
 
 class MSMWave2(MSMWave):
-    """Packed-gather wave MSM for one (field, N, c, V) configuration."""
+    """Packed-gather wave MSM for one (field, N, c, V) configuration.
+
+    `lf=True` (default) has the extraction einsum emit the gathered
+    points directly in the limbs-first layout ((2K, WBV/128, 128) — one
+    cheap XLA relayout on the MXU output) so the wave madd runs the
+    contiguous-tile `madd_affine_fast` kernel; the point-major variant
+    (`lf=False`) keeps the gathered blocks point-major and pays strided
+    sublane reads inside `madd_affine_fast_packed` (~3x slower madd at
+    2^22 bench shapes; scripts/exp_madd_layout.py)."""
 
     def __init__(self, fctx: FieldCtx, n: int, c: int = 12, v: int = 8,
-                 scalar_bits: int = 254, g2: bool = False, group=None):
+                 scalar_bits: int = 254, g2: bool = False, group=None,
+                 lf: bool = True, batch: int = 1):
         super().__init__(fctx, n, c=c, v=v, scalar_bits=scalar_bits,
-                         g2=g2, group=group)
+                         g2=g2, group=group, batch=batch)
         row_words = (4 if g2 else 2) * fctx.k  # per-point affine words
         assert 128 % row_words == 0, "point row must divide a 128 lane line"
         self.row_words = row_words
         self.pack = 128 // row_words
+        self.lf = lf
         assert n % self.pack == 0
         assert n % v == 0, "table size must be a multiple of V"
 
@@ -62,12 +72,17 @@ class MSMWave2(MSMWave):
         v, wbv, wb = self.v, self.wbv, self.wb
         pack, row_words = self.pack, self.row_words
         pc = self.pc
+        lf = self.lf
         g_cnt = wbv // 128
         eye = jnp.eye(128, dtype=jnp.float32)
+        madd_fast = pc.madd_affine_fast if lf else pc.madd_affine_fast_packed
+        madd_uni = (pc.madd_affine_masked if lf
+                    else pc.madd_affine_masked_packed)
 
         def extract(rows, lsel):
             """(WBV, 128) gathered lines + (WBV,) lane-group selectors ->
-            point-major (WBV/128, 2K, 128) blocks via one MXU einsum."""
+            limbs-first (2K, WBV/128, 128) (lf) or point-major
+            (WBV/128, 2K, 128) blocks via one MXU einsum."""
             r3 = rows.reshape(g_cnt, 128, 128)
             ls = lsel.reshape(g_cnt, 128, 1)
             sel = r3[:, :, 0:row_words]
@@ -78,7 +93,8 @@ class MSMWave2(MSMWave):
                     sel,
                 )
             t = jnp.einsum(
-                "gpw,pq->gwq", sel.astype(jnp.float32), eye,
+                "gpw,pq->wgq" if lf else "gpw,pq->gwq",
+                sel.astype(jnp.float32), eye,
                 precision=jax.lax.Precision.HIGHEST,
             )
             return t.astype(jnp.uint32)
@@ -159,10 +175,10 @@ class MSMWave2(MSMWave):
                 rows = jnp.take(packed, jf // pack, axis=0)  # (WBV, 128)
                 pts = _extract(rows, (jf % pack).astype(jnp.int32))
                 vmask = valid.reshape(-1, 128)
-                st2, flags = pc.madd_affine_fast_packed(st, pts, vmask)
+                st2, flags = madd_fast(st, pts, vmask)
                 st = jax.lax.cond(
                     jnp.any(flags > 0),
-                    lambda s, q, m: pc.madd_affine_masked_packed(s, q, m),
+                    lambda s, q, m: madd_uni(s, q, m),
                     lambda s, q, m: st2,
                     st, pts, vmask,
                 )

@@ -40,13 +40,41 @@ class SpMV:
             assert longest < (1 << 15), "row too dense for u32 limb sums"
         self.rows = jnp.asarray(rows)
         self.cols = jnp.asarray(np.asarray(cols, dtype=np.int32))
-        self.vals = jnp.asarray(fctx.encode([v for v in vals]))  # mont (nnz, K)
+        # Coefficients are overwhelmingly repeated (+-1, +-2^i, Poseidon
+        # round constants): store one (distinct, K) Montgomery table plus
+        # a (nnz,) index — 4 bytes/term instead of 4K bytes/term. At
+        # rollup scale this is the difference between the az/bz/cz
+        # matrices fitting in HBM alongside the CRS or not.
+        uniq: dict = {}
+        idx = np.empty(len(rows), dtype=np.int32)
+        for i, v in enumerate(vals):
+            j = uniq.get(v)
+            if j is None:
+                j = len(uniq)
+                uniq[v] = j
+            idx[i] = j
+        self.val_idx = jnp.asarray(idx)
+        self.val_table = jnp.asarray(
+            fctx.encode(list(uniq.keys())))  # mont (distinct, K)
 
-    def apply(self, z):
+    @property
+    def arrays(self):
+        """The large device arrays as a pytree — pass these as jit
+        ARGUMENTS (apply_arrays) on paths where captured constants are
+        expensive (the axon remote compiler ships every captured
+        constant with the HLO payload; at rollup scale that is GBs)."""
+        return (self.rows, self.cols, self.val_idx, self.val_table)
+
+    def apply_arrays(self, z, arrays):
         """z: (n_cols, K) Montgomery -> (n_rows, K) Montgomery."""
+        rows, cols, val_idx, val_table = arrays
         f = self.fctx
-        terms = f.mont_mul(self.vals, jnp.take(z, self.cols, axis=0))
+        vals = jnp.take(val_table, val_idx, axis=0)
+        terms = f.mont_mul(vals, jnp.take(z, cols, axis=0))
         sums = jax.ops.segment_sum(
-            terms, self.rows, num_segments=self.n_rows
+            terms, rows, num_segments=self.n_rows
         )  # (n_rows, K) raw limb sums
         return f.reduce_cols(sums)
+
+    def apply(self, z):
+        return self.apply_arrays(z, self.arrays)

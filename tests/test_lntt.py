@@ -54,8 +54,14 @@ def test_lntt_medium():
     _check_n(256)
 
 
+from conftest import heavy_test  # noqa: E402
+
+
+@heavy_test
 def test_lntt_pallas_threshold():
     # n = 2048: half-size 1024 crosses the Pallas-kernel threshold on TPU
     # (on the CPU test mesh this takes the XLA path; the TPU path is
-    # exercised by scripts/validate_tpu.py and the bench)
+    # exercised by scripts/validate_tpu.py and the bench). Heavy-gated:
+    # the cold XLA-CPU compile of the n=2048 graph takes tens of minutes
+    # and tens of GB on the 2-CPU CI box.
     _check_n(2048)

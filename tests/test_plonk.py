@@ -120,3 +120,42 @@ def test_plonk_merkle_32():
     # reference tests/plonk.rs:19-49 (k=20 there; our row layout fits
     # the depth-32 circuit in 2^16)
     _merkle_plonk(32, 16)
+
+
+def test_plonk_device_path_matches_host():
+    """FAWKES_PLONK_DEVICE=1 routes rounds 1-3 through the device
+    pipeline (backend/plonk/device.py); same seed => byte-identical
+    proof vs the host-oracle path."""
+    import os
+
+    pp = PoseidonParams.new(Fr, 4, 8, 54)
+
+    def circuit(pub, sec):
+        res = c_poseidon(list(sec), pp)
+        res.assert_eq(pub)
+
+    def alloc_pub(cs, v):
+        return CNum.alloc(cs, v)
+
+    def alloc_sec(cs, v):
+        if v is None:
+            return tuple(CNum.alloc(cs, None) for _ in range(3))
+        return tuple(CNum.alloc(cs, x) for x in v)
+
+    params = Parameters.setup(11, seed=b"srs3")
+    pk = setup(params, circuit, alloc_pub, alloc_sec)
+
+    data = [rand_fr() for _ in range(3)]
+    h = poseidon(data, pp)
+    inputs, proof_h = prove(params, pk, h, data, circuit, alloc_pub,
+                            alloc_sec, seed=b"d")
+    os.environ["FAWKES_PLONK_DEVICE"] = "1"
+    try:
+        pk.__dict__.pop("_device", None)
+        inputs_d, proof_d = prove(params, pk, h, data, circuit,
+                                  alloc_pub, alloc_sec, seed=b"d")
+    finally:
+        os.environ["FAWKES_PLONK_DEVICE"] = "0"
+    assert inputs_d == inputs
+    assert proof_d == proof_h
+    assert verify(pk.vk, proof_d, inputs_d)
