@@ -22,6 +22,19 @@ class LegendreSymbol:
     QuadraticNonResidue = -1
 
 
+# Canonical-instance registry: fields are compared with `is` throughout
+# (cross-field arithmetic guard), so unpickling must return the SAME
+# instance, not a copy — see PrimeField.__reduce__.
+_FIELD_REGISTRY: dict = {}
+
+
+def _field_from_registry(modulus, generator, word_count, name):
+    f = _FIELD_REGISTRY.get((modulus, generator, word_count))
+    if f is None:
+        f = PrimeField(modulus, generator, word_count, name)
+    return f
+
+
 class PrimeField:
     """Parameters of one prime field; mirrors PrimeFieldParams of the reference.
 
@@ -41,6 +54,7 @@ class PrimeField:
         self.generator = generator
         self.word_count = word_count
         self.name = name
+        _FIELD_REGISTRY.setdefault((modulus, generator, word_count), self)
         self.bits = modulus.bit_length()  # MODULUS_BITS
         self.shave_bits = 64 * word_count - self.bits  # REPR_SHAVE_BITS
         # Montgomery constants, radix 2^64 (reference ff-uint_derive/src/lib.rs:221-265)
@@ -60,6 +74,10 @@ class PrimeField:
         self.t_odd = t
         self.root_of_unity = pow(generator, t, modulus)
         self._sqrt_z = None
+
+    def __reduce__(self):
+        return (_field_from_registry,
+                (self.p, self.generator, self.word_count, self.name))
 
     # --- basic ops on canonical ints -------------------------------------
     def add(self, a, b):

@@ -45,7 +45,21 @@ def main(n_txs=120, host_check=False):
     params = RollupParams.new(Fr, jubjub_bn256())
 
     t0 = time.perf_counter()
-    gp = rollup_setup(n_txs, params, seed=b"rollup-bench")
+    cache = f"/tmp/rollup_params_{n_txs}.pkl"
+    import os
+    import pickle
+
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            gp = pickle.load(f)
+        print(f"setup loaded from {cache}", flush=True)
+    else:
+        gp = rollup_setup(n_txs, params, seed=b"rollup-bench")
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(gp, f)
+        except Exception as e:  # cache is best-effort
+            print(f"params cache write failed: {e}", flush=True)
     t_setup = time.perf_counter() - t0
     n_constraints = gp.r1cs.num_constraints
     print(f"setup: {t_setup:.1f}s  constraints={n_constraints} "
@@ -83,7 +97,10 @@ def main(n_txs=120, host_check=False):
     t0 = time.perf_counter()
     inputs, proof = prove(gp, root0, txs, None, None, None, seed=b"p2")
     t_warm = time.perf_counter() - t0
-    print(f"prove warm: {t_warm:.1f}s", flush=True)
+    from fawkes_crypto_tpu.utils.profiling import last_prove_timings
+
+    stages = {k: round(v, 2) for k, v in last_prove_timings.items()}
+    print(f"prove warm: {t_warm:.1f}s  stages={stages}", flush=True)
 
     ok = verify(gp.vk, proof, inputs)
     assert ok, "proof failed to verify"

@@ -5,6 +5,15 @@ pattern of SURVEY.md §4.2 for the bench/prover hot kernel
 
 import numpy as np
 import pytest
+from conftest import heavy_test
+
+# Interpret-mode lowering of the wave kernels on XLA-CPU takes tens of
+# GB / tens of minutes on the 2-CPU CI box (same pathology as
+# test_lntt_pallas_threshold), so the whole module is heavy-gated; the
+# real-TPU path is chip-validated by scripts/scan_wave2lf.py (G1, vs
+# wave1 + independent configs), scripts/exp_g2wave2.py (G2, vs the host
+# Pippenger) and the /verify drive (prove_many batch vs single proofs).
+pytestmark = heavy_test
 
 from fawkes_crypto_tpu.engines.bn256 import Fq
 from fawkes_crypto_tpu.ff.jfield import FieldCtx
