@@ -206,6 +206,25 @@ class DeviceProver:
             self.zinv_xla = jnp.broadcast_to(
                 self.fr.const(zinv), (n, self.fr.k))
 
+    @property
+    def _shared_sched(self) -> bool:
+        """A/B1/B2 can share one schedule iff all three wave contexts
+        have identical schedule geometry (MSMWave2 only). Opt-in via
+        FAWKES_MSM_SHARED_SCHED=1 until chip-validated
+        (scripts/check_sched_share.py)."""
+        import os
+
+        from ...ops.msm_wave2 import MSMWave2
+
+        if os.environ.get("FAWKES_MSM_SHARED_SCHED", "") in ("", "0"):
+            return False
+        return (isinstance(self.msm_w_g1, MSMWave2)
+                and isinstance(self.msm_w_g2, MSMWave2)
+                and (self.msm_w_g1.n, self.msm_w_g1.c, self.msm_w_g1.v,
+                     self.msm_w_g1.w, self.msm_w_g1.b)
+                == (self.msm_w_g2.n, self.msm_w_g2.c, self.msm_w_g2.v,
+                    self.msm_w_g2.w, self.msm_w_g2.b))
+
     # ---- QAP h(x) ----------------------------------------------------------
     def h_scalars_br(self, z_mont) -> jnp.ndarray:
         """Witness z (num_wires, K) Montgomery on device -> h coefficients as
@@ -292,12 +311,26 @@ class DeviceProver:
             if h_br.shape[0] < self.n_wave:
                 h_br = jnp.pad(
                     h_br, ((0, self.n_wave - h_br.shape[0]), (0, 0)))
-            with tm.stage("msm_a"):
-                a = self.msm_w_g1.msm(self.a_g1, z_sc)
-            with tm.stage("msm_b1"):
-                b1 = self.msm_w_g1.msm(self.b_g1, z_sc)
-            with tm.stage("msm_b2"):
-                b2 = self.msm_w_g2.msm(self.b_g2, z_sc)
+            shared = self._shared_sched
+            if shared:
+                # A/B1/B2 share the z scalars: ONE digit sort serves all
+                # three accumulations (ROADMAP perf item 3); the G2 wave
+                # context consumes the same schedule arrays.
+                with tm.stage("msm_sched"):
+                    sched = self.msm_w_g1.schedule(z_sc)
+                with tm.stage("msm_a"):
+                    a = self.msm_w_g1.msm_sched(self.a_g1, sched)
+                with tm.stage("msm_b1"):
+                    b1 = self.msm_w_g1.msm_sched(self.b_g1, sched)
+                with tm.stage("msm_b2"):
+                    b2 = self.msm_w_g2.msm_sched(self.b_g2, sched)
+            else:
+                with tm.stage("msm_a"):
+                    a = self.msm_w_g1.msm(self.a_g1, z_sc)
+                with tm.stage("msm_b1"):
+                    b1 = self.msm_w_g1.msm(self.b_g1, z_sc)
+                with tm.stage("msm_b2"):
+                    b2 = self.msm_w_g2.msm(self.b_g2, z_sc)
             with tm.stage("msm_l"):
                 l = self.msm_aux.msm(self.l_g1, aux_sc)
             with tm.stage("msm_h"):
@@ -306,6 +339,10 @@ class DeviceProver:
         z_sc_pad = encode_scalars(z, self.m_pad, k)
         with tm.stage("msm_b2"):
             if self.g2_host:
+                if isinstance(z, np.ndarray):  # native-witness limb rows
+                    from ...ff.limbs import limbs_to_ints
+
+                    z = limbs_to_ints(z)
                 b2 = cext.g2_msm(self.b_g2_pts, z)
             else:
                 b2 = decode_point_g2(
@@ -351,12 +388,22 @@ class DeviceProver:
         if h_br.shape[1] < self.n_wave:
             h_br = jnp.pad(
                 h_br, ((0, 0), (0, self.n_wave - h_br.shape[1]), (0, 0)))
-        with tm.stage("msm_a"):
-            a = self.msm_w_g1.msm_batch(self.a_g1, z_sc)
-        with tm.stage("msm_b1"):
-            b1 = self.msm_w_g1.msm_batch(self.b_g1, z_sc)
-        with tm.stage("msm_b2"):
-            b2 = self.msm_w_g2.msm_batch(self.b_g2, z_sc)
+        if self._shared_sched:
+            with tm.stage("msm_sched"):
+                sched = self.msm_w_g1.schedule(z_sc)
+            with tm.stage("msm_a"):
+                a = self.msm_w_g1.msm_batch_sched(self.a_g1, sched)
+            with tm.stage("msm_b1"):
+                b1 = self.msm_w_g1.msm_batch_sched(self.b_g1, sched)
+            with tm.stage("msm_b2"):
+                b2 = self.msm_w_g2.msm_batch_sched(self.b_g2, sched)
+        else:
+            with tm.stage("msm_a"):
+                a = self.msm_w_g1.msm_batch(self.a_g1, z_sc)
+            with tm.stage("msm_b1"):
+                b1 = self.msm_w_g1.msm_batch(self.b_g1, z_sc)
+            with tm.stage("msm_b2"):
+                b2 = self.msm_w_g2.msm_batch(self.b_g2, z_sc)
         with tm.stage("msm_l"):
             l = self.msm_aux.msm_batch(self.l_g1, aux_sc)
         with tm.stage("msm_h"):

@@ -113,6 +113,26 @@ class MeshProver:
         self._msm_g2_run = self.msm_g2.make()
         self.sbits = sbits
 
+        # Overlap the two pathological XLA-CPU compiles (G1 + G2 sharded
+        # Pippenger SPMD programs) on cold runs: kick the G2 graph's
+        # compile off on a daemon thread now; msms() joins before its B2
+        # stage. With a warm persistent cache both are instant loads.
+        import threading
+
+        def _prewarm_g2():
+            try:
+                sh = NamedSharding(self.mesh, P(self.axis, None))
+                zs = jax.device_put(
+                    jnp.zeros((self.m_pad, self.fq.k), dtype=jnp.uint32),
+                    sh)
+                with self.mesh:
+                    jax.block_until_ready(self._msm_g2_run(self.b_g2, zs))
+            except Exception:
+                pass
+
+        self._g2_warm = threading.Thread(target=_prewarm_g2, daemon=True)
+        self._g2_warm.start()
+
         self.spmv_a = SpMV(self.fr, r1cs.a_rows, r1cs.a_cols, r1cs.a_vals,
                            n, m)
         self.spmv_b = SpMV(self.fr, r1cs.b_rows, r1cs.b_cols, r1cs.b_vals,
@@ -188,6 +208,8 @@ class MeshProver:
             with tm.stage("msm_b1"):
                 b1 = decode_point_g1(self.fq, self._msm_run(self.b_g1, z_sc))
             with tm.stage("msm_b2"):
+                if self._g2_warm.is_alive():
+                    self._g2_warm.join()
                 b2 = decode_point_g2(
                     self.qq, self._msm_g2_run(self.b_g2, z_sc),
                     group=self.E.g)

@@ -126,7 +126,7 @@ def generate_witness_fast(params: Parameters, input_pub, input_sec,
         if wp is None:
             wp = WitnessProgram.from_params(params)
             params.__dict__["_witness_program"] = wp
-        return wp.evaluate(input_pub, input_sec)
+        return wp.evaluate_fast(input_pub, input_sec)
     return generate_witness(params, input_pub, input_sec, circuit,
                             alloc_pub, alloc_sec)
 
@@ -163,13 +163,55 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
 
     tm = StageTimer()
     p = Fr.p
+    # Raw-limb fast path: the native batch evaluator emits canonical LE
+    # bytes that reinterpret directly as the device 16-bit limb layout —
+    # rollup-scale witnesses never materialize as Python ints
+    # (witness_native.py; the reference streams Rust values into bellman
+    # at prover.rs:74-80, this is the TPU analog).
+    aux_arr = z_arr = z_mont_arr = None
     with tm.stage("witness"):
-        inputs, aux = generate_witness_fast(
-            params, input_pub, input_sec, circuit, alloc_pub, alloc_sec
-        )
-    z = inputs + aux
+        raw = None
+        if params.batch is not None:
+            from .replicate import BatchWitness
+
+            bw = params.__dict__.get("_batch_witness")
+            if bw is None:
+                bw = BatchWitness(params.batch[0])
+                params.__dict__["_batch_witness"] = bw
+            root_in = (input_pub.x if hasattr(input_pub, "x")
+                       else int(input_pub))
+            raw = bw.evaluate_raw(root_in, input_sec, want_mont=True)
+        if raw is not None:
+            import numpy as np
+
+            from ...ff.limbs import ints_to_limbs, n_limbs_for
+            from .witness_native import limbs_from_u64
+
+            inputs, aux_u64, _, aux_mont_u64 = raw
+            aux = None
+            k = n_limbs_for(Fr.word_count)
+            aux_arr = limbs_from_u64(aux_u64, k)
+            z_arr = np.concatenate(
+                [ints_to_limbs(inputs, k), aux_arr])
+            # Montgomery z straight from the native evaluator: feeding the
+            # h pipeline without a device-side to_mont pass (whose wide-
+            # product intermediates OOM HBM at rollup scale)
+            z_mont_arr = np.concatenate([
+                ints_to_limbs([Fr.to_mont(v) for v in inputs], k),
+                limbs_from_u64(aux_mont_u64, k),
+            ])
+        else:
+            inputs, aux = generate_witness_fast(
+                params, input_pub, input_sec, circuit, alloc_pub,
+                alloc_sec
+            )
     r1cs = params.r1cs
-    assert len(z) == r1cs.num_wires
+    if aux is None:
+        assert len(z_arr) == r1cs.num_wires
+        z = None
+    else:
+        z = inputs + aux
+        assert len(z) == r1cs.num_wires
     if mesh is not None:
         device_msm = True
     elif device_msm is None:
@@ -179,10 +221,20 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
     # witness otherwise only surfaces as a proof that fails verification.
     # Costs a full host SpMV pass per proof, so it's env-gated.
     if os.environ.get("FAWKES_CHECK_SATISFIED", "") not in ("", "0"):
+        if z is None:
+            from .witness_native import _u64_to_ints
+
+            aux = _u64_to_ints(aux_u64)
+            z = inputs + aux
         with tm.stage("check_satisfied"):
             _assert_satisfied(r1cs, z, p)
 
     if not device_msm:
+        if z is None:
+            from .witness_native import _u64_to_ints
+
+            aux = _u64_to_ints(aux_u64)
+            z = inputs + aux
         with tm.stage("spmv"):
             az = sparse_matvec(r1cs.a_rows, r1cs.a_cols, r1cs.a_vals, z,
                                r1cs.num_constraints, p)
@@ -219,10 +271,15 @@ def prove(params: Parameters, input_pub, input_sec, circuit: Callable,
                     params.__dict__["_device_prover"] = dp
         with device_trace("groth16_prove"):
             with tm.stage("spmv_ntt_h"):
-                z_mont = jnp.asarray(dp.fr.encode(z))
+                if z_arr is not None:
+                    z_mont = jnp.asarray(z_mont_arr)
+                else:
+                    z_mont = jnp.asarray(dp.fr.encode(z))
                 h_br = jax_block(dp.h_scalars_br(z_mont))
             a_msm, b1_msm, b2_msm, l_pt, h_pt = dp.msms(
-                z, aux, h_br, timer=tm
+                z_arr if z_arr is not None else z,
+                aux_arr if aux_arr is not None else aux,
+                h_br, timer=tm
             )
         lh_msm = g_add(l_pt, h_pt)
     else:

@@ -190,7 +190,10 @@ def replicate_r1cs(tmpl: TxTemplate, n_txs: int, p: int) -> R1CS:
 
 class BatchWitness:
     """Per-copy witness evaluation: the template's compiled witness
-    program threaded over the running root."""
+    program threaded over the running root. Uses the C++ evaluator
+    (witness_native.py) when available — the compiled-replay analog of
+    the reference's Rust witness pass (prover.rs:69-74) — with the
+    Python interpreter as oracle/fallback."""
 
     def __init__(self, tmpl: TxTemplate):
         from .witness import WitnessProgram
@@ -199,9 +202,53 @@ class BatchWitness:
         self.fr = tmpl.fld
         self.wp = WitnessProgram.from_parts(
             tmpl.fld, tmpl.witness_ops, tmpl.T, inputize_lcs=[])
+        self.native = None
+        try:
+            from . import witness_native as wn
+
+            if wn.available():
+                self.native = wn.NativeProgram(
+                    self.wp, n_extra=1, root_lc=tmpl.root_out)
+        except Exception:
+            self.native = None
+
+    def _ext_array(self, txs) -> np.ndarray:
+        from .witness import _flatten_values
+        from .witness_native import _ints_to_u64
+
+        p = self.fr.p
+        return np.stack([
+            _ints_to_u64(_flatten_values(
+                flatten_tx(tx) if not isinstance(tx, tuple) else tx, p))
+            for tx in txs
+        ])
+
+    def evaluate_raw(self, root_in: int, txs, want_mont: bool = False):
+        """Native batch path -> (inputs [1, root_in, root_out],
+        aux (n_txs*T, 4) uint64 canonical LE, roots (n_txs+1, 4)
+        [, aux_mont with want_mont]). None if the native evaluator is
+        unavailable."""
+        if self.native is None:
+            return None
+        p = self.fr.p
+        out = self.native.eval_batch_raw(
+            self._ext_array(txs), root_in % p, want_mont=want_mont)
+        aux, roots = out[0], out[1]
+        b = roots[-1].tobytes()
+        root_out = int.from_bytes(b, "little")
+        res = [[1, root_in % p, root_out], aux, roots]
+        if want_mont:
+            res.append(out[2])
+        return tuple(res)
 
     def evaluate(self, root_in: int, txs) -> Tuple[List[int], List[int]]:
         """-> (inputs [1, root_in, root_out], aux concat)."""
+        raw = self.evaluate_raw(root_in, txs)
+        if raw is not None:
+            from .witness_native import _u64_to_ints
+
+            inputs, aux, _ = raw
+            return inputs, _u64_to_ints(aux)
         p = self.fr.p
         root = root_in % p
         z_aux_all: List[int] = []

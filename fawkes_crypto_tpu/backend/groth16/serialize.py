@@ -364,20 +364,79 @@ def _vals_from_array(arr: np.ndarray) -> List[int]:
     return [int.from_bytes(row.tobytes(), "little") for row in arr]
 
 
-def write_parameters(path: str, params: Parameters) -> None:
+def _template_to_arrays(tmpl, n_txs: int) -> dict:
+    """Batch tx template (replicate.py TxTemplate) -> npz entries. The
+    replicated R1CS is NOT stored — read_parameters re-stamps it from the
+    template (the artifact stays tx-count-sized, not batch-sized; the
+    reference has no analog — bellman persists the fully materialized
+    system, mod.rs:150-177)."""
+    out = {
+        "batch_meta": np.asarray([tmpl.G, tmpl.T, n_txs], dtype=np.int64),
+        "batch_root_out": np.frombuffer(
+            _lc_to_bytes(tmpl.root_out), dtype=np.uint8),
+        "batch_witness_program": np.frombuffer(
+            witness_program_to_bytes(tmpl.witness_ops, []),
+            dtype=np.uint8),
+        "batch_const_tracker": np.asarray(
+            tmpl.const_tracker, dtype=np.bool_),
+    }
+    for name, (rows, cols, vals) in zip("abc", tmpl.mats):
+        out[f"batch_{name}_rows"] = rows
+        out[f"batch_{name}_cols"] = cols
+        out[f"batch_{name}_vals"] = _vals_to_array(vals)
+    return out
+
+
+def _template_from_arrays(z, E):
+    from ...circuit.rollup import RollupParams
+    from .replicate import TxTemplate
+
+    G, T, n_txs = (int(v) for v in z["batch_meta"])
+    mats = []
+    for name in "abc":
+        mats.append((z[f"batch_{name}_rows"], z[f"batch_{name}_cols"],
+                     _vals_from_array(z[f"batch_{name}_vals"])))
+    root_out, off = _lc_from(memoryview(z["batch_root_out"].tobytes()), 0)
+    witness_ops, _ = witness_program_from_bytes(
+        z["batch_witness_program"].tobytes())
+    if E.name == "bls12_381":
+        from ...engines.bls12_381 import jubjub_bls12_381 as jj
+    else:
+        from ...engines.bn256 import jubjub_bn256 as jj
+    tmpl = TxTemplate(
+        fld=E.fr, G=G, T=T, mats=tuple(mats), root_out=root_out,
+        witness_ops=witness_ops,
+        const_tracker=[bool(b) for b in z["batch_const_tracker"]],
+        rollup_params=RollupParams.new(E.fr, jj()),
+    )
+    return tmpl, n_txs
+
+
+def _query_entries(prefix: str, q, E, g2: bool = False) -> dict:
+    """One bulk PK query -> npz entries: device-generated G1Rows/G2Rows
+    persist as their raw (N, 2K|4K) uint32 Montgomery row tables (zero
+    conversion — this IS the wave-MSM upload format, params.py), host
+    point lists as canonical byte rows."""
+    from .params import G1Rows
+
+    if isinstance(q, G1Rows):
+        return {prefix + "_rows": q.rows}
+    return {prefix: (_g2s_to_array if g2 else _g1s_to_array)(q, E)}
+
+
+def write_parameters(path: str, params: Parameters,
+                     compress: Optional[bool] = None) -> None:
     r = params.r1cs
     E = params.E
-    np.savez_compressed(
-        path,
+    from .params import G1Rows
+
+    arrays = dict(
         engine=np.frombuffer(params.engine.encode(), dtype=np.uint8),
         meta=np.asarray(
             [r.num_input, r.num_aux, r.num_constraints, r.domain,
              params.n_public],
             dtype=np.int64,
         ),
-        a_rows=r.a_rows, a_cols=r.a_cols, a_vals=_vals_to_array(r.a_vals),
-        b_rows=r.b_rows, b_cols=r.b_cols, b_vals=_vals_to_array(r.b_vals),
-        c_rows=r.c_rows, c_cols=r.c_cols, c_vals=_vals_to_array(r.c_vals),
         const_tracker=np.asarray(params.const_tracker, dtype=np.bool_),
         vk=np.frombuffer(vk_to_bytes(params.vk, E), dtype=np.uint8),
         pk_alpha_g1=_g1s_to_array([params.pk.alpha_g1], E),
@@ -385,17 +444,36 @@ def write_parameters(path: str, params: Parameters) -> None:
         pk_beta_g2=_g2s_to_array([params.pk.beta_g2], E),
         pk_delta_g1=_g1s_to_array([params.pk.delta_g1], E),
         pk_delta_g2=_g2s_to_array([params.pk.delta_g2], E),
-        pk_a_g1=_g1s_to_array(params.pk.a_g1, E),
-        pk_b_g1=_g1s_to_array(params.pk.b_g1, E),
-        pk_b_g2=_g2s_to_array(params.pk.b_g2, E),
-        pk_l_g1=_g1s_to_array(params.pk.l_g1, E),
-        pk_h_g1=_g1s_to_array(params.pk.h_g1, E),
         witness_program=np.frombuffer(
             witness_program_to_bytes(params.witness_ops,
                                      params.inputize_lcs),
             dtype=np.uint8,
         ),
     )
+    arrays.update(_query_entries("pk_a_g1", params.pk.a_g1, E))
+    arrays.update(_query_entries("pk_b_g1", params.pk.b_g1, E))
+    arrays.update(_query_entries("pk_b_g2", params.pk.b_g2, E, g2=True))
+    arrays.update(_query_entries("pk_l_g1", params.pk.l_g1, E))
+    arrays.update(_query_entries("pk_h_g1", params.pk.h_g1, E))
+    if params.batch is not None:
+        arrays.update(_template_to_arrays(*params.batch))
+    else:
+        arrays.update(
+            a_rows=r.a_rows, a_cols=r.a_cols,
+            a_vals=_vals_to_array(r.a_vals),
+            b_rows=r.b_rows, b_cols=r.b_cols,
+            b_vals=_vals_to_array(r.b_vals),
+            c_rows=r.c_rows, c_cols=r.c_cols,
+            c_vals=_vals_to_array(r.c_vals),
+        )
+    if compress is None:
+        # raw Montgomery row tables are incompressible; don't burn
+        # minutes of zlib on a multi-GB CRS
+        compress = not any(
+            isinstance(q, G1Rows)
+            for q in (params.pk.a_g1, params.pk.b_g1, params.pk.b_g2,
+                      params.pk.l_g1, params.pk.h_g1))
+    (np.savez_compressed if compress else np.savez)(path, **arrays)
 
 
 def read_parameters(path: str, checked: bool = False) -> Parameters:
@@ -410,16 +488,41 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
     num_input, num_aux, num_constraints, domain, n_public = (
         int(v) for v in z["meta"]
     )
-    r1cs = R1CS(
-        num_input=num_input, num_aux=num_aux,
-        num_constraints=num_constraints, domain=domain,
-        a_rows=z["a_rows"], a_cols=z["a_cols"],
-        a_vals=_vals_from_array(z["a_vals"]),
-        b_rows=z["b_rows"], b_cols=z["b_cols"],
-        b_vals=_vals_from_array(z["b_vals"]),
-        c_rows=z["c_rows"], c_cols=z["c_cols"],
-        c_vals=_vals_from_array(z["c_vals"]),
-    )
+    batch = None
+    if "batch_meta" in z:
+        from .replicate import replicate_r1cs
+
+        tmpl, n_txs = _template_from_arrays(z, E)
+        batch = (tmpl, n_txs)
+        r1cs = replicate_r1cs(tmpl, n_txs, E.fr.p)
+        assert (r1cs.num_input, r1cs.num_aux, r1cs.num_constraints,
+                r1cs.domain) == (num_input, num_aux, num_constraints,
+                                 domain), "re-stamped batch R1CS mismatch"
+    else:
+        r1cs = R1CS(
+            num_input=num_input, num_aux=num_aux,
+            num_constraints=num_constraints, domain=domain,
+            a_rows=z["a_rows"], a_cols=z["a_cols"],
+            a_vals=_vals_from_array(z["a_vals"]),
+            b_rows=z["b_rows"], b_cols=z["b_cols"],
+            b_vals=_vals_from_array(z["b_vals"]),
+            c_rows=z["c_rows"], c_cols=z["c_cols"],
+            c_vals=_vals_from_array(z["c_vals"]),
+        )
+
+    def query(prefix: str, g2: bool = False):
+        """Bulk query: raw device row tables round-trip as-is."""
+        if prefix + "_rows" in z:
+            from .params import G1Rows, G2Rows
+
+            rows = z[prefix + "_rows"]
+            if g2:
+                return G2Rows(rows, E.fq,
+                              quad_cls=getattr(E.g, "Fq2", None))
+            return G1Rows(rows, E.fq)
+        return (_g2s_from_array if g2 else _g1s_from_array)(
+            z[prefix], checked, E)
+
     vk = vk_from_bytes(z["vk"].tobytes(), E)
     pk = ProvingKey(
         alpha_g1=_g1s_from_array(z["pk_alpha_g1"], checked, E)[0],
@@ -427,11 +530,11 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
         beta_g2=_g2s_from_array(z["pk_beta_g2"], checked, E)[0],
         delta_g1=_g1s_from_array(z["pk_delta_g1"], checked, E)[0],
         delta_g2=_g2s_from_array(z["pk_delta_g2"], checked, E)[0],
-        a_g1=_g1s_from_array(z["pk_a_g1"], checked, E),
-        b_g1=_g1s_from_array(z["pk_b_g1"], checked, E),
-        b_g2=_g2s_from_array(z["pk_b_g2"], checked, E),
-        l_g1=_g1s_from_array(z["pk_l_g1"], checked, E),
-        h_g1=_g1s_from_array(z["pk_h_g1"], checked, E),
+        a_g1=query("pk_a_g1"),
+        b_g1=query("pk_b_g1"),
+        b_g2=query("pk_b_g2", g2=True),
+        l_g1=query("pk_l_g1"),
+        h_g1=query("pk_h_g1"),
     )
     witness_ops, inputize_lcs = {}, []
     if "witness_program" in z:
@@ -443,4 +546,5 @@ def read_parameters(path: str, checked: bool = False) -> Parameters:
         const_tracker=[bool(b) for b in z["const_tracker"]],
         witness_ops=witness_ops, n_public=n_public,
         inputize_lcs=inputize_lcs, engine=engine,
+        batch=batch,
     )

@@ -152,3 +152,32 @@ class WitnessProgram:
             z_in.append(self._lc_eval(lc, z_in, z_aux))
         assert all(v is not None for v in z_aux), "uncovered aux wire"
         return z_in, z_aux
+
+    def evaluate_fast(self, input_pub, input_sec,
+                      extra_inputs=()) -> Tuple[List[int], List[int]]:
+        """Same contract as evaluate(); runs the compiled C++ evaluator
+        (witness_native.py) when available — the compiled analog of the
+        reference's Rust replay (prover.rs:69-74) — and falls back to the
+        Python interpreter otherwise."""
+        native = getattr(self, "_native", False)
+        if native is False:
+            native = None
+            if not extra_inputs:  # n_extra fixed at compile time
+                try:
+                    from . import witness_native as wn
+
+                    if wn.available():
+                        native = wn.NativeProgram(self)
+                except Exception:
+                    native = None
+            self._native = native
+        if native is None or extra_inputs:
+            return self.evaluate(input_pub, input_sec, extra_inputs)
+        p = self.fr.p
+        ext_vals = (_flatten_values(input_pub, p)
+                    + _flatten_values(input_sec, p))
+        z_aux = native.eval_aux(ext_vals)
+        z_in = [1]
+        for lc in self.inputize_lcs:
+            z_in.append(self._lc_eval(lc, z_in, z_aux))
+        return z_in, z_aux

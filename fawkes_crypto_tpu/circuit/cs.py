@@ -80,6 +80,25 @@ class BaseCS:
     def record_op(self, op: WitnessOp):
         pass
 
+    def hint_block(self, name: str, meta_fn, signals):
+        """Macro-op recording scope (BuildCS only; no-op elsewhere).
+
+        Gadgets with heavy but structured witness logic (poseidon: wide
+        partial-round lane LCs) wrap their body so the per-mul ops
+        recorded inside are replaced by ONE multi-output hint op that a
+        registered native routine (circuit/hints.py, C++ fast path in
+        native_ext/witness.cpp) evaluates in value space — the same cost
+        profile as the reference's compiled-DSL replay
+        (/root/reference/.../bellman_groth16/prover.rs:69-74) instead of
+        O(LC width) per op. Gate recording is untouched, so constraint
+        counts stay bit-exact.
+
+        meta_fn() -> (meta, input_lcs) is only called on BuildCS (other
+        CS kinds carry no LCs)."""
+        from contextlib import nullcontext
+
+        return nullcontext()
+
 
 class DebugCS(BaseCS):
     """Counts gates and eagerly asserts witness satisfaction
@@ -166,6 +185,37 @@ class BuildCS(BaseCS):
 
     def record_op(self, op: WitnessOp):
         self.witness_ops[op.out] = op
+        if self._block_outs is not None:
+            self._block_outs.append(op.out)
+
+    _block_outs: Optional[list] = None
+
+    def hint_block(self, name: str, meta_fn, signals):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def scope():
+            assert self._block_outs is None, "nested hint blocks"
+            meta, input_lcs = meta_fn()
+            self._block_outs = []
+            try:
+                yield
+            finally:
+                outs = self._block_outs
+                self._block_outs = None
+            # replace the recorded per-mul ops by one macro hint op
+            flat = []
+            for o in outs:
+                if isinstance(o, tuple):
+                    flat.extend(o)
+                else:
+                    flat.append(o)
+                del self.witness_ops[o]
+            if flat:
+                self.witness_ops[tuple(flat)] = WitnessOp(
+                    "hint", tuple(flat), a=input_lcs, aux=(name, meta))
+
+        return scope()
 
 
 class WitnessCS(BaseCS):

@@ -82,6 +82,58 @@ def _hint_decompress_inv8(meta, vals):
     return (p.x, p.y)
 
 
+_POSEIDON_CACHE: Dict[tuple, object] = {}
+
+
+def _poseidon_params_cached(fld, t, f, p, salt):
+    key = (fld.p, t, f, p, salt)
+    params = _POSEIDON_CACHE.get(key)
+    if params is None:
+        from ..native.poseidon import PoseidonParams
+
+        params = PoseidonParams.new_with_salt(fld, t, f, p, salt)
+        _POSEIDON_CACHE[key] = params
+    return params
+
+
+@register_hint("poseidon_perm")
+def _hint_poseidon_perm(meta, vals):
+    """Macro witness op for one poseidon permutation (circuit/poseidon.py
+    _perm hint_block): returns the (a^2, a^4, a^5) intermediates of every
+    NON-const sigma application, in the gadget's allocation order. Lane
+    const-ness (meta["in_const"]) replays the trace-time const-folding so
+    the output list aligns 1:1 with the recorded wires."""
+    from ..ff.hostfield import Num
+
+    fld = vals[0].fld
+    params = _poseidon_params_cached(
+        fld, meta["t"], meta["f"], meta["p"], meta.get("salt", ""))
+    lanes = list(vals)
+    const = list(meta["in_const"])
+    outs = []
+    half_f = params.f >> 1
+    t = params.t
+    for r in range(params.f + params.p):
+        lanes = [s + c for s, c in zip(lanes, params.c[r])]
+        full = r < half_f or r >= half_f + params.p
+        for i in range(t) if full else (0,):
+            a = lanes[i]
+            a2 = a * a
+            a4 = a2 * a2
+            a5 = a4 * a
+            if not const[i]:
+                outs.extend((a2, a4, a5))
+            lanes[i] = a5
+        allc = all(const)
+        lanes = [
+            sum((params.m[i][j] * lanes[j] for j in range(t)),
+                Num(fld, 0))
+            for i in range(t)
+        ]
+        const = [allc] * t
+    return tuple(outs)
+
+
 @register_hint("montgomery_get_y")
 def _hint_montgomery_get_y(meta, vals):
     """(g, t) -> y with y^2 in {g, g*u} and parity tied to t — the sqrt

@@ -37,14 +37,27 @@ def _mix(state: List[CNum], params: PoseidonParams) -> List[CNum]:
 def _perm(state: List[CNum], params: PoseidonParams) -> List[CNum]:
     assert len(state) == params.t
     state = list(state)
-    half_f = params.f >> 1
-    for i in range(params.f + params.p):
-        state = [s + c for s, c in zip(state, params.c[i])]
-        if i < half_f or i >= half_f + params.p:
-            state = [_sigma(s) for s in state]
-        else:
-            state[0] = _sigma(state[0])
-        state = _mix(state, params)
+    cs = state[0].cs
+
+    def meta_fn():
+        # witness-macro metadata (BuildCS only): lane const-ness decides
+        # which sigma muls fold and so which wires the macro outputs —
+        # replayed identically by the "poseidon_perm" hint
+        # (circuit/hints.py / native_ext/witness.cpp)
+        in_const = [s.lc.as_const() is not None for s in state]
+        meta = {"t": params.t, "f": params.f, "p": params.p,
+                "salt": params.salt, "in_const": in_const}
+        return meta, [list(s.lc.to_vec()) for s in state]
+
+    with cs.hint_block("poseidon_perm", meta_fn, state):
+        half_f = params.f >> 1
+        for i in range(params.f + params.p):
+            state = [s + c for s, c in zip(state, params.c[i])]
+            if i < half_f or i >= half_f + params.p:
+                state = [_sigma(s) for s in state]
+            else:
+                state[0] = _sigma(state[0])
+            state = _mix(state, params)
     return state
 
 

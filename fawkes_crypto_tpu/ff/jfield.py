@@ -273,6 +273,10 @@ class FieldCtx:
         return jax.jit(self.mont_mul)
 
     @functools.cached_property
+    def jit_to_mont(self):
+        return jax.jit(self.to_mont)
+
+    @functools.cached_property
     def jit_add(self):
         return jax.jit(self.add)
 

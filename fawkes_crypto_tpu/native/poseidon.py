@@ -22,6 +22,7 @@ class PoseidonParams:
     f: int
     p: int
     fld: PrimeField
+    salt: str = ""  # kept so witness macro-ops can reconstruct the params
 
     @staticmethod
     def new(fld: PrimeField, t: int, f: int, p: int) -> "PoseidonParams":
@@ -37,7 +38,7 @@ class PoseidonParams:
         x = [sb.gen_num(fld) for _ in range(t)]
         y = [sb.gen_num(fld) for _ in range(t)]
         m = [[(x[i] + y[j]).checked_inv() for j in range(t)] for i in range(t)]
-        return PoseidonParams(c=c, m=m, t=t, f=f, p=p, fld=fld)
+        return PoseidonParams(c=c, m=m, t=t, f=f, p=p, fld=fld, salt=salt)
 
 
 def _sigma(a: Num) -> Num:

@@ -139,6 +139,78 @@ def _jac_to_affine_rows_host(pf, g2: bool, jac) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _madd_xla(fld, g2: bool, state: jnp.ndarray, pts: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """XLA (batch-last, ops/curve.py) masked mixed-add — the off-TPU
+    stand-in for PCurve.madd_affine_masked. Interpret-mode Pallas takes
+    minutes of XLA-CPU compile PER kernel shape on the CI box; the XLA
+    unified add compiles in seconds and is bit-identical (same Montgomery
+    limb math through ff/jfield).
+
+    state (3K', M, 128) Jacobian limbs-first; pts (2K', M, 128) affine
+    (all-zero row = identity); mask (M, 128) uint32."""
+    from ..ff.jquad import QuadCtx
+    from .curve import ec_add, ec_select
+
+    fctx = FieldCtx.get(fld)
+    f = QuadCtx.get(fld) if g2 else fctx
+    kq = state.shape[0] // 3
+    m = state.shape[1] * 128
+
+    def bl(a):
+        out = a.reshape(kq, m).T
+        return out.reshape(m, 2, kq // 2) if g2 else out
+
+    def lf(a):
+        if g2:
+            a = a.reshape(m, kq)
+        return a.T.reshape(kq, -1, 128)
+
+    s = (bl(state[:kq]), bl(state[kq:2 * kq]), bl(state[2 * kq:]))
+    px, py = bl(pts[:kq]), bl(pts[kq:])
+    nz = jnp.any(pts != 0, axis=0).reshape(-1)  # (N,) non-identity rows
+    one = jnp.asarray(fctx.const(1))
+    if g2:
+        z1 = jnp.zeros((m, 2, kq // 2), dtype=jnp.uint32)
+        z1 = z1.at[:, 0, :].set(one[None, :])
+        pz = jnp.where(nz[:, None, None], z1, 0)
+    else:
+        z1 = jnp.broadcast_to(one, (m, kq))
+        pz = jnp.where(nz[:, None], z1, 0)
+    cand = ec_add(f, s, (px, py, pz))
+    out = ec_select(f, mask.reshape(-1).astype(bool), cand, s)
+    return jnp.concatenate([lf(c) for c in out], axis=0)
+
+
+def _madd_masked(pc, fld, g2, state, pts, mask):
+    if jax.default_backend() == "tpu":
+        return pc.madd_affine_masked(state, pts, mask)
+    return _madd_xla(fld, g2, state, pts, mask)
+
+
+_BUILD_JIT: dict = {}
+
+
+def _table_build_jit(pc, fld, g2, k3, lanes):
+    """Jitted scan accumulating the c bit-level madds of a table build."""
+    key = (id(fld), g2, k3, lanes)
+    fn = _BUILD_JIT.get(key)
+    if fn is None:
+        def build(pts_all, masks):
+            state = jnp.zeros((k3, lanes // 128, 128), dtype=jnp.uint32)
+
+            def step(st, xs):
+                pts, mask = xs
+                return _madd_masked(pc, fld, g2, st, pts, mask), None
+
+            state, _ = jax.lax.scan(step, state, (pts_all, masks))
+            return state
+
+        fn = jax.jit(build)
+        _BUILD_JIT[key] = fn
+    return fn
+
+
 _TABLE_CACHE: dict = {}
 
 
@@ -175,16 +247,34 @@ def fixed_base_tables(fctx: FieldCtx, base, w: int, c: int,
     lanes = w * b
     assert lanes % 128 == 0
     d_in_w = np.tile(np.arange(b, dtype=np.int64), w)
-    state = jnp.zeros((3 * k, lanes // 128, 128), dtype=jnp.uint32)
-    for j in range(c):
+
+    def level(j):
         # per-window constant point [2^(c*w_ + j)] base on every lane of
         # window w_, masked by bit j of the lane's digit
         rows = np.asarray(enc(fctx, [doubles[c * w_ + j] for w_ in range(w)]))
         rep = np.repeat(rows, b, axis=0)  # (lanes, 2K|4K)
-        pts = jnp.asarray(rep.T.reshape(2 * k, lanes // 128, 128))
-        mask = jnp.asarray(
-            ((d_in_w >> j) & 1).astype(np.uint32).reshape(-1, 128))
-        state = pc.madd_affine_masked(state, pts, mask)
+        return (rep.T.reshape(2 * k, lanes // 128, 128),
+                ((d_in_w >> j) & 1).astype(np.uint32).reshape(-1, 128))
+
+    if jax.default_backend() == "tpu":
+        # eager per-bit loop: the Mosaic madd compiles once (shape-keyed)
+        # and the (lanes, 2K) level tensors stay transient (the c-stacked
+        # scan input would be GBs at the CRS chunk size)
+        state = jnp.zeros((3 * k, lanes // 128, 128), dtype=jnp.uint32)
+        for j in range(c):
+            pts, mask = level(j)
+            state = pc.madd_affine_masked(
+                state, jnp.asarray(pts), jnp.asarray(mask))
+    else:
+        # stack the c bit-levels and scan: ONE compiled XLA madd body
+        # (the eager loop compiled the unified-add graph c times —
+        # minutes each on XLA-CPU)
+        pts_all = np.empty((c, 2 * k, lanes // 128, 128), dtype=np.uint32)
+        masks = np.empty((c, lanes // 128, 128), dtype=np.uint32)
+        for j in range(c):
+            pts_all[j], masks[j] = level(j)
+        state = _table_build_jit(pc, fctx.fld, g2, 3 * k, lanes)(
+            jnp.asarray(pts_all), jnp.asarray(masks))
 
     aff = jac_to_affine_rows(pf, g2, state)  # (lanes, 2K|4K)
     tables = aff.reshape(w, b, 2 * k)
@@ -224,15 +314,22 @@ class FixedBase:
         k, n, w = self.k, self.n, self.w
         pc = self.pc
 
-        def run(scalars):
+        def run(scalars, tables):
             digits = extract_digits(scalars, self.c, w)        # (W, N)
             state = jnp.zeros((3 * k, n // 128, 128), dtype=jnp.uint32)
-            for w_ in range(w):
-                d = digits[w_]
-                rows = jnp.take(self.tables[w_], d, axis=0)    # (N, 2K)
+
+            # lax.scan over windows: ONE compiled madd body regardless of
+            # W (the unrolled loop lowered the Pallas kernel W=64 times —
+            # tens of minutes of XLA-CPU compile in interpret mode)
+            def step(st, xs):
+                tab, d = xs
+                rows = jnp.take(tab, d, axis=0)                # (N, 2K)
                 pts = rows.T.reshape(2 * k, n // 128, 128)
                 valid = (d > 0).astype(jnp.uint32).reshape(-1, 128)
-                state = pc.madd_affine_masked(state, pts, valid)
+                return _madd_masked(pc, self.fctx.fld, self.g2, st, pts,
+                                    valid), None
+
+            state, _ = jax.lax.scan(step, state, (tables, digits))
             return state
 
         return jax.jit(run)
@@ -240,11 +337,12 @@ class FixedBase:
     def mul_jacobian(self, scalars: jnp.ndarray) -> jnp.ndarray:
         """scalars (N, K) canonical 16-bit limbs -> (3K, N/128, 128)
         Jacobian device points [s_i] base."""
-        return self._run(scalars)
+        return self._run(scalars, self.tables)
 
     def mul_affine_rows(self, scalars: jnp.ndarray) -> jnp.ndarray:
         """-> (N, 2K) affine Montgomery rows (batched Fermat inversion)."""
-        return jac_to_affine_rows(self.pf, self.g2, self._run(scalars))
+        return jac_to_affine_rows(self.pf, self.g2,
+                                  self._run(scalars, self.tables))
 
 
 # ---- (K, M, 128)-layout helpers shared with tablegen ------------------------

@@ -30,8 +30,12 @@ from ..ff.jfield import FieldCtx
 from ..ff.pfield import PField
 from .ntt import NTTCtx
 
-# minimum half-size for the Pallas mul path: one (8, 128) grid block
-_PALLAS_MIN = 1024
+# minimum half-size for the Pallas mul path: one (8, 128) grid block.
+# FAWKES_LNTT_PALLAS_MIN lowers it so CI can exercise the threshold
+# logic in interpret mode on tiny domains (tests/test_lntt.py).
+import os as _os
+
+_PALLAS_MIN = int(_os.environ.get("FAWKES_LNTT_PALLAS_MIN", "1024"))
 
 
 def to_lf(x: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +65,11 @@ class LNTTCtx:
         self.w_pows = self.base.w_pows
         self.winv_pows = self.base.winv_pows
         self.n_inv = self.base.n_inv  # (K,)
-        self.use_pallas = jax.default_backend() == "tpu"
+        # FAWKES_LNTT_INTERPRET=1 runs the Pallas branch in interpret
+        # mode off-TPU — CPU coverage for the kernel + threshold logic
+        self.interpret = _os.environ.get(
+            "FAWKES_LNTT_INTERPRET", "") not in ("", "0")
+        self.use_pallas = jax.default_backend() == "tpu" or self.interpret
 
     @classmethod
     def get(cls, fctx: FieldCtx, n: int) -> "LNTTCtx":
@@ -80,7 +88,7 @@ class LNTTCtx:
             from jax.experimental.pallas import tpu as pltpu
 
             pf = self.pf
-            sub = 8
+            sub = min(8, m // 128)
 
             def kernel(a_ref, b_ref, o_ref):
                 r = pf.f_mul([a_ref[i] for i in range(k)],
@@ -98,6 +106,7 @@ class LNTTCtx:
                 grid=(m // 128 // sub,),
                 in_specs=[spec, spec],
                 out_specs=spec,
+                interpret=self.interpret,
             )(a3, b3)
             return out.reshape(k, m)
         r = self.pf.f_mul([a[i] for i in range(k)], [b[i] for i in range(k)])

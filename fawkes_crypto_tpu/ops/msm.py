@@ -194,7 +194,15 @@ def pad_msm_size(n: int, min_size: int = 16) -> int:
     return max(_next_pow2(n), min_size)
 
 
-def encode_scalars(scalars: Sequence[int], n_padded: int, k: int) -> jnp.ndarray:
-    """Canonical ints -> (n_padded, K) uint32 16-bit limbs (zero padded)."""
+def encode_scalars(scalars, n_padded: int, k: int) -> jnp.ndarray:
+    """Canonical ints (or an already-encoded (N, K) uint32 limb array —
+    the native witness path, backend/groth16/witness_native.py) ->
+    (n_padded, K) uint32 16-bit limbs (zero padded)."""
+    if isinstance(scalars, np.ndarray) and scalars.ndim == 2:
+        assert scalars.shape[1] == k
+        if scalars.shape[0] < n_padded:
+            scalars = np.pad(
+                scalars, ((0, n_padded - scalars.shape[0]), (0, 0)))
+        return jnp.asarray(scalars)
     xs = list(scalars) + [0] * (n_padded - len(scalars))
     return jnp.asarray(ints_to_limbs(xs, k))

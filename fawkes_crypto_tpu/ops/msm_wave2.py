@@ -67,40 +67,18 @@ class MSMWave2(MSMWave):
 
     # ---- device pipeline -----------------------------------------------------
     @functools.cached_property
-    def _window_sums(self):
-        n, w, b, c, k = self.n, self.w, self.b, self.c, self.k
-        v, wbv, wb = self.v, self.wbv, self.wb
-        pack, row_words = self.pack, self.row_words
-        pc = self.pc
-        lf = self.lf
-        g_cnt = wbv // 128
-        eye = jnp.eye(128, dtype=jnp.float32)
-        madd_fast = pc.madd_affine_fast if lf else pc.madd_affine_fast_packed
-        madd_uni = (pc.madd_affine_masked if lf
-                    else pc.madd_affine_masked_packed)
+    def _schedule_fn(self):
+        """scalars -> the sort-derived wave schedule, as a tuple of
+        arrays. Split out of the accumulation so the A/B1/B2 proof MSMs
+        (which share one scalar vector z — reference prover.rs:80 runs
+        three separate sorts) sort ONCE and run three accumulations
+        (ROADMAP perf item 3). Schedule arrays depend only on
+        (n, c, v, scalar_bits, batch), so the G2 wave context consumes a
+        G1-computed schedule unchanged."""
+        n, w, b = self.n, self.w, self.b
+        v = self.v
 
-        def extract(rows, lsel):
-            """(WBV, 128) gathered lines + (WBV,) lane-group selectors ->
-            limbs-first (2K, WBV/128, 128) (lf) or point-major
-            (WBV/128, 2K, 128) blocks via one MXU einsum."""
-            r3 = rows.reshape(g_cnt, 128, 128)
-            ls = lsel.reshape(g_cnt, 128, 1)
-            sel = r3[:, :, 0:row_words]
-            for l in range(1, pack):
-                sel = jnp.where(
-                    ls == l,
-                    r3[:, :, l * row_words:(l + 1) * row_words],
-                    sel,
-                )
-            t = jnp.einsum(
-                "gpw,pq->wgq" if lf else "gpw,pq->gwq",
-                sel.astype(jnp.float32), eye,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return t.astype(jnp.uint32)
-
-        def run(points_rows, scalars):
-            packed = points_rows.reshape(-1, 128)  # (N/pack, 128)
+        def sched(scalars):
             digits = self._digits(scalars)  # (W, N)
             # one fused pass returns sorted digits AND the permutation —
             # argsort + take_along_axis costs an extra 92M-element gather
@@ -151,6 +129,47 @@ class MSMWave2(MSMWave):
             slot_lo = s_starts[:, :, None]
             slot_end = s_ends[:, :, None]
             base_brow = (slot_base[:, :, 0] >> v.bit_length() - 1)  # /V
+            return order_v, slot_base, slot_lo, slot_end, base_brow
+
+        return jax.jit(sched)
+
+    @functools.cached_property
+    def _accumulate_fn(self):
+        """(points_rows, schedule arrays) -> window sums."""
+        n, w, b, c, k = self.n, self.w, self.b, self.c, self.k
+        v, wbv, wb = self.v, self.wbv, self.wb
+        pack, row_words = self.pack, self.row_words
+        pc = self.pc
+        lf = self.lf
+        g_cnt = wbv // 128
+        eye = jnp.eye(128, dtype=jnp.float32)
+        madd_fast = pc.madd_affine_fast if lf else pc.madd_affine_fast_packed
+        madd_uni = (pc.madd_affine_masked if lf
+                    else pc.madd_affine_masked_packed)
+
+        def extract(rows, lsel):
+            """(WBV, 128) gathered lines + (WBV,) lane-group selectors ->
+            limbs-first (2K, WBV/128, 128) (lf) or point-major
+            (WBV/128, 2K, 128) blocks via one MXU einsum."""
+            r3 = rows.reshape(g_cnt, 128, 128)
+            ls = lsel.reshape(g_cnt, 128, 1)
+            sel = r3[:, :, 0:row_words]
+            for l in range(1, pack):
+                sel = jnp.where(
+                    ls == l,
+                    r3[:, :, l * row_words:(l + 1) * row_words],
+                    sel,
+                )
+            t = jnp.einsum(
+                "gpw,pq->wgq" if lf else "gpw,pq->gwq",
+                sel.astype(jnp.float32), eye,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return t.astype(jnp.uint32)
+
+        def run(points_rows, order_v, slot_base, slot_lo, slot_end,
+                base_brow):
+            packed = points_rows.reshape(-1, 128)  # (N/pack, 128)
             stride_rows = self.stride[:, :, 0] // v  # (W, 1) rows per wave
 
             state = jnp.zeros((3 * k, g_cnt, 128), dtype=jnp.uint32)
@@ -220,3 +239,38 @@ class MSMWave2(MSMWave):
             return flat[:, jnp.asarray([i * b for i in range(w)])]
 
         return jax.jit(run)
+
+    @functools.cached_property
+    def _window_sums(self):
+        """(points_rows, scalars) -> window sums; composition of the
+        split schedule + accumulate jits (call-site compatible with
+        MSMWave._window_sums)."""
+        def run(points_rows, scalars):
+            return self._accumulate_fn(points_rows,
+                                       *self._schedule_fn(scalars))
+
+        return run
+
+    # ---- shared-schedule entry points (A/B1/B2 share z's digit sort) -----
+    def schedule(self, scalars):
+        return self._schedule_fn(scalars)
+
+    def msm_sched(self, points_rows, sched):
+        """Like msm() but consuming a precomputed schedule()."""
+        from .msm_wave import decode_points_lf, decode_points_lf_g2
+
+        assert self.batch == 1
+        tw = self._accumulate_fn(points_rows, *sched)
+        window_pts = (decode_points_lf_g2(self.fctx, tw, self.group)
+                      if self.g2 else decode_points_lf(self.fctx, tw))
+        return self._horner(window_pts)
+
+    def msm_batch_sched(self, points_rows, sched):
+        from .msm_wave import decode_points_lf, decode_points_lf_g2
+
+        tw = self._accumulate_fn(points_rows, *sched)
+        pts = (decode_points_lf_g2(self.fctx, tw, self.group)
+               if self.g2 else decode_points_lf(self.fctx, tw))
+        wb_ = self.w_base
+        return [self._horner(pts[i * wb_:(i + 1) * wb_])
+                for i in range(self.batch)]

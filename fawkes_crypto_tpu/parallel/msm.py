@@ -73,11 +73,15 @@ class DistMSM:
                 out_specs = tuple(
                     P(self.axis, *([None] * (c.ndim - 2))) for c in pts
                 )
-                fn = shard_map(
+                # jit the shard_map: un-jitted it executes the body
+                # primitive-by-primitive (hundreds of tiny sharded
+                # executables + dispatch — the r4 dryrun's minutes-long
+                # "compile"); jitted it is ONE compiled SPMD program
+                fn = jax.jit(shard_map(
                     self._body, mesh=self.mesh,
                     in_specs=in_specs, out_specs=out_specs,
                     check_vma=False,
-                )
+                ))
                 self._fns[key] = fn
             out = fn(pts, scalars)
             # every shard holds the same sum; take shard 0

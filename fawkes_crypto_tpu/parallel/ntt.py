@@ -142,12 +142,14 @@ class DistNTT:
         in_specs_f = (spec,) + tuple(tw_spec for _ in range(self.logd))
         in_specs_b = (spec,) + tuple(tw_spec for _ in range(self.logd))
 
-        fwd = shard_map(self._fwd_body, mesh=self.mesh,
-                        in_specs=in_specs_f, out_specs=spec,
-                        check_vma=False)
-        inv = shard_map(self._inv_body, mesh=self.mesh,
-                        in_specs=in_specs_b, out_specs=spec,
-                        check_vma=False)
+        # jitted: an un-jitted shard_map executes primitive-by-primitive
+        # (one tiny sharded executable per op — see parallel/msm.py)
+        fwd = jax.jit(shard_map(self._fwd_body, mesh=self.mesh,
+                                in_specs=in_specs_f, out_specs=spec,
+                                check_vma=False))
+        inv = jax.jit(shard_map(self._inv_body, mesh=self.mesh,
+                                in_specs=in_specs_b, out_specs=spec,
+                                check_vma=False))
 
         def ntt_fn(x):
             return fwd(x, *self.fw_tw)

@@ -45,19 +45,25 @@ def main(n_txs=120, host_check=False):
     params = RollupParams.new(Fr, jubjub_bn256())
 
     t0 = time.perf_counter()
-    cache = f"/tmp/rollup_params_{n_txs}.pkl"
+    # Parameters persist in the framework's own npz format (VERDICT r4
+    # item 6) — batch templates round-trip as the template + n_txs and
+    # device CRS row tables as raw uint32 arrays (serialize.py), the
+    # analog of bellman's Parameters::write/read (mod.rs:150-177).
+    cache = f"/tmp/rollup_params_{n_txs}.npz"
     import os
-    import pickle
+
+    from fawkes_crypto_tpu.backend.groth16.serialize import (
+        read_parameters,
+        write_parameters,
+    )
 
     if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            gp = pickle.load(f)
+        gp = read_parameters(cache)
         print(f"setup loaded from {cache}", flush=True)
     else:
         gp = rollup_setup(n_txs, params, seed=b"rollup-bench")
         try:
-            with open(cache, "wb") as f:
-                pickle.dump(gp, f)
+            write_parameters(cache, gp)
         except Exception as e:  # cache is best-effort
             print(f"params cache write failed: {e}", flush=True)
     t_setup = time.perf_counter() - t0
@@ -127,20 +133,33 @@ def main(n_txs=120, host_check=False):
         "n_txs": n_txs,
         "constraints": n_constraints,
         "setup_s": round(t_setup, 1),
+        "txgen_s": round(t_txgen, 1),
         "prove_warm_s": round(t_warm, 2),
         "prove_cold_s": round(t_cold, 1),
+        "stages": stages,
         "constraints_per_s": round(ours),
         "ref_constraints_per_s": round(ref_rate),
         "vs_ref_cpu": round(ours / ref_rate, 3),
         "verified": bool(ok),
         "device_host_match": proof_match,
+        "native_witness": bool(
+            getattr(gp.__dict__.get("_batch_witness"), "native", None)
+            is not None),
         "total_s": round(time.perf_counter() - t_all, 1),
     }
     print(json.dumps(rec), flush=True)
+    return rec
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     host_check = "--host-check" in args
+    out = None
+    for a in args:
+        if a.startswith("--out="):
+            out = a.split("=", 1)[1]
     args = [a for a in args if not a.startswith("--")]
-    main(int(args[0]) if args else 120, host_check=host_check)
+    rec = main(int(args[0]) if args else 120, host_check=host_check)
+    if out:
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)

@@ -163,3 +163,67 @@ def test_witness_program_persists(tmp_path):
     assert inputs2 == inputs
     assert (proof2.a, proof2.b, proof2.c) == (proof.a, proof.b, proof.c)
     assert verify(params2.vk, proof2, inputs2)
+
+
+def test_batch_parameters_roundtrip(tmp_path):
+    """Batch-replicated rollup Parameters persist as the tx TEMPLATE
+    (VERDICT r4 item 6): the npz stores template matrices + witness
+    program + n_txs, read re-stamps the full R1CS, and the reloaded
+    Parameters proves + verifies."""
+    from fawkes_crypto_tpu.backend.groth16.replicate import rollup_setup
+    from fawkes_crypto_tpu.circuit.rollup import make_txs
+
+    from test_rollup import make_state, rollup_params
+
+    params = rollup_params()
+    gp = rollup_setup(1, params, seed=b"ser-batch", device=False)
+    path = str(tmp_path / "batch_params.npz")
+    write_parameters(path, gp)
+    gp2 = read_parameters(path)
+    assert gp2.batch is not None and gp2.batch[1] == 1
+    assert gp2.r1cs.num_constraints == gp.r1cs.num_constraints
+    assert gp2.r1cs.num_aux == gp.r1cs.num_aux
+
+    tree, accounts = make_state(params)
+    root0 = tree.root()
+    txs = make_txs(tree, accounts, [(0, 1)], [Num(Fr, 77)], params)
+    inputs, proof = prove(gp2, root0, txs, None, None, None,
+                          seed=b"p", device_msm=False)
+    assert inputs == [root0.x, tree.root().x]
+    assert verify(gp2.vk, proof, inputs)
+    # and bit-identical to a proof from the original params
+    inputs0, proof0 = prove(gp, root0, txs, None, None, None,
+                            seed=b"p", device_msm=False)
+    assert (proof.a, proof.b, proof.c) == (proof0.a, proof0.b, proof0.c)
+
+
+def test_device_rows_parameters_roundtrip(tmp_path):
+    """G1Rows/G2Rows device-CRS tables (setup.py _device_queries)
+    round-trip as raw uint32 row tables and still prove + verify
+    (VERDICT r4 item 6; reference analog mod.rs:150-177)."""
+    import numpy as np
+
+    from fawkes_crypto_tpu.backend.groth16.params import G1Rows, G2Rows
+    from fawkes_crypto_tpu.backend.groth16.setup import setup as _setup
+
+    circuit, alloc_pub, alloc_sec = _tiny_setup()
+    gp = _setup(circuit, alloc_pub, alloc_sec, seed=b"ser-rows",
+                device=True)
+    assert isinstance(gp.pk.a_g1, G1Rows), "device setup must emit rows"
+    assert isinstance(gp.pk.b_g2, G2Rows)
+    path = str(tmp_path / "rows_params.npz")
+    write_parameters(path, gp)
+    gp2 = read_parameters(path)
+    assert isinstance(gp2.pk.a_g1, G1Rows)
+    assert isinstance(gp2.pk.b_g2, G2Rows)
+    assert np.array_equal(gp2.pk.a_g1.rows, gp.pk.a_g1.rows)
+    assert np.array_equal(gp2.pk.b_g2.rows, gp.pk.b_g2.rows)
+
+    sec = Num(Fr, rng.randrange(Fr.p))
+    pub = (sec + 1) * sec
+    inputs, proof = prove(gp2, pub, sec, circuit, alloc_pub, alloc_sec,
+                          seed=b"p", device_msm=False)
+    assert verify(gp2.vk, proof, inputs)
+    inputs0, proof0 = prove(gp, pub, sec, circuit, alloc_pub, alloc_sec,
+                            seed=b"p", device_msm=False)
+    assert (proof.a, proof.b, proof.c) == (proof0.a, proof0.b, proof0.c)
